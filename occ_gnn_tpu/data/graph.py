@@ -1,0 +1,114 @@
+"""Host-side graph container.
+
+The whole training graph lives on the host as a CSR over *in*-neighbors:
+``indices[indptr[v]:indptr[v+1]]`` are the message sources for node ``v``
+(messages flow neighbor -> node, matching the sampling direction of the
+reference's loaders: /root/reference/python/utils/utils.py:61-104 builds a
+DGLGraph from the same CSR and samples in-edges, and
+/root/reference/cslicer/dataset.cpp:8-113 reads the identical binary layout).
+
+Features/labels are numpy arrays; device placement is the job of the cache
+layer (occ_gnn_tpu.cache) — nothing here touches JAX.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Graph:
+    """Immutable host-side graph with node data.
+
+    Attributes:
+      indptr:  int64[num_nodes + 1] CSR row pointers (in-neighbors).
+      indices: int64[num_edges] CSR column indices (message sources).
+      features: float32[num_nodes, feature_dim].
+      labels: int32[num_nodes].
+      num_classes: number of label classes.
+      train_mask / val_mask / test_mask: bool[num_nodes] splits.
+      partition_map: int32[num_nodes] node -> partition id, or None.
+    """
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    features: np.ndarray
+    labels: np.ndarray
+    num_classes: int
+    train_mask: np.ndarray | None = None
+    val_mask: np.ndarray | None = None
+    test_mask: np.ndarray | None = None
+    partition_map: np.ndarray | None = None
+
+    def __post_init__(self):
+        self.indptr = np.ascontiguousarray(self.indptr, dtype=np.int64)
+        self.indices = np.ascontiguousarray(self.indices, dtype=np.int64)
+        self.features = np.ascontiguousarray(self.features, dtype=np.float32)
+        self.labels = np.ascontiguousarray(self.labels, dtype=np.int32)
+        if self.partition_map is not None:
+            self.partition_map = np.ascontiguousarray(
+                self.partition_map, dtype=np.int32
+            )
+        assert self.indptr.ndim == 1 and self.indices.ndim == 1
+        assert self.features.shape[0] == self.num_nodes
+        assert self.labels.shape == (self.num_nodes,)
+        assert int(self.indptr[0]) == 0
+        assert int(self.indptr[-1]) == self.num_edges
+
+    @property
+    def num_nodes(self) -> int:
+        return self.indptr.shape[0] - 1
+
+    @property
+    def num_edges(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def feature_dim(self) -> int:
+        return self.features.shape[1]
+
+    def in_degrees(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def out_degrees(self) -> np.ndarray:
+        return np.bincount(self.indices, minlength=self.num_nodes).astype(np.int64)
+
+    def train_nodes(self) -> np.ndarray:
+        if self.train_mask is None:
+            return np.arange(self.num_nodes, dtype=np.int64)
+        return np.nonzero(self.train_mask)[0].astype(np.int64)
+
+    def default_masks(self, seed: int = 0) -> None:
+        """80/10/10 random splits (semantics of reference utils.py:96-99)."""
+        rng = np.random.default_rng(seed)
+        a = rng.random(self.num_nodes)
+        self.train_mask = a < 0.80
+        self.val_mask = (a >= 0.80) & (a < 0.90)
+        self.test_mask = a >= 0.90
+
+
+def from_edge_list(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    features: np.ndarray,
+    labels: np.ndarray,
+    num_classes: int,
+) -> Graph:
+    """Build an in-neighbor CSR graph from a (src -> dst) edge list."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.add.at(indptr, dst + 1, 1)
+    indptr = np.cumsum(indptr)
+    return Graph(
+        indptr=indptr,
+        indices=src,
+        features=features,
+        labels=labels,
+        num_classes=num_classes,
+    )

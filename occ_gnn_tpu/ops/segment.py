@@ -1,0 +1,116 @@
+"""Segment reductions and sparse message-passing ops (XLA path).
+
+These are the TPU equivalents of the reference's aggregation kernels:
+``spmm_mean`` replaces DGL ``update_all(copy_u, mean)``
+(/root/reference/python/data/bipartite.py:61-67) and the hand-written CUDA
+``SageAggr`` kernel (/root/reference/src/gnn/sage.cu:7-78); ``segment_softmax``
++ ``spmm_sum`` of (score * value) replace ``attention_gather``
+(/root/reference/python/data/bipartite.py:75-80).
+
+Padding convention: out-of-range segment ids (``== num_segments``) are
+dropped — XLA scatter in FILL_OR_DROP mode — so padded edges need no masks.
+Backward passes are XLA gathers (transpose of scatter-add), which XLA
+handles natively; a Pallas fused variant lives in occ_gnn_tpu.ops.pallas_spmm
+and is selected via ``occ_gnn_tpu.ops.config``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    indices_are_sorted: bool = True,
+) -> jax.Array:
+    return jax.ops.segment_sum(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+
+
+def segment_max(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    indices_are_sorted: bool = True,
+) -> jax.Array:
+    return jax.ops.segment_max(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+
+
+def segment_mean(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    indices_are_sorted: bool = True,
+) -> jax.Array:
+    total = segment_sum(data, segment_ids, num_segments, indices_are_sorted)
+    ones = jnp.ones(segment_ids.shape[:1], dtype=data.dtype)
+    count = segment_sum(ones, segment_ids, num_segments, indices_are_sorted)
+    count = jnp.maximum(count, 1.0)
+    return total / count.reshape((num_segments,) + (1,) * (data.ndim - 1))
+
+
+def segment_softmax(
+    scores: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    indices_are_sorted: bool = True,
+) -> jax.Array:
+    """Numerically-stable softmax within each segment (GAT attention).
+
+    ``scores`` is [E] or [E, heads]; rows whose segment id is out of range
+    (padding) come back as 0 (their exp contributes to no segment and the
+    gathered max for them is a finite dummy).
+    """
+    smax = segment_max(scores, segment_ids, num_segments, indices_are_sorted)
+    # Empty segments have -inf max; replace to keep arithmetic finite.
+    smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+    safe_ids = jnp.minimum(segment_ids, num_segments - 1)
+    shifted = scores - smax[safe_ids]
+    expv = jnp.exp(shifted)
+    # Zero padded rows so they don't pollute gathered denominators.
+    valid = (segment_ids < num_segments).reshape(
+        (-1,) + (1,) * (scores.ndim - 1)
+    )
+    expv = jnp.where(valid, expv, 0.0)
+    denom = segment_sum(expv, segment_ids, num_segments, indices_are_sorted)
+    denom = jnp.maximum(denom, 1e-16)
+    return expv / denom[safe_ids]
+
+
+def spmm_sum(
+    x_src: jax.Array,
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    num_dst: int,
+    edge_weight: jax.Array | None = None,
+) -> jax.Array:
+    """sum_{(u -> v) in E} w_uv * x[u]  per dst v. [E]-indexed COO, sorted."""
+    msgs = x_src[edge_src]
+    if edge_weight is not None:
+        msgs = msgs * edge_weight.reshape((-1,) + (1,) * (msgs.ndim - 1))
+    return segment_sum(msgs, edge_dst, num_dst)
+
+
+def spmm_mean(
+    x_src: jax.Array,
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    num_dst: int,
+) -> jax.Array:
+    """DGL fn.mean numerics: mean over valid in-edges; zero-degree rows -> 0."""
+    total = spmm_sum(x_src, edge_src, edge_dst, num_dst)
+    ones = jnp.ones(edge_dst.shape[:1], dtype=x_src.dtype)
+    count = segment_sum(ones, edge_dst, num_dst)
+    return total / jnp.maximum(count, 1.0)[:, None]

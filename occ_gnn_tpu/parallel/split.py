@@ -1,0 +1,128 @@
+"""Split-parallel device structures and shard_map step primitives.
+
+This is the TPU-native re-design of the reference's split-parallel runtime:
+the 4x4 pairwise ``pull_for_remotes -> .to(dest) -> push_from_remotes``
+shuffle (/root/reference/python/layers/dist_sageconv.py:57-64) and the CUDA
+P2P + mergeKernel scatter-add (/root/reference/src/gnn/dist_sage.cu:98-228)
+become ONE ``jax.lax.all_to_all`` over the ICI mesh axis plus an XLA
+scatter-add, inside ``jax.shard_map``.
+
+Numerics: the reference's partial-merge divides by 2 (bipartite.py:93-99),
+which is only correct for exactly-2-way merges. Here each partition
+aggregates partial SUMS, the owner adds all partials and divides by the
+node's total sampled in-degree — exact DGL ``fn.mean`` numerics on the
+unsplit graph, so split-parallel output provably equals the single-chip
+path (tested in tests/test_split_parallel.py).
+
+Data layout (all leading-axis-P arrays are sharded over mesh axis "p"):
+
+  edge_src[P, E_cap]   local src row in partition p's input frame
+  edge_dst[P, E_cap]   local dst row in p's dst scratch frame (pad=dst_cap)
+  push_idx[P, P, S_cap] rows of p's dst frame to send to q (pad=-1)
+  recv_idx[P, P, S_cap] where partials arriving from r land in p's frame
+                        (pad=dst_cap -> dropped by scatter)
+  owned_idx[P, O_cap]  rows of p's dst frame owned by p (pad=-1)
+  owned_deg[P, O_cap]  total in-degree across ALL partitions (pad=1)
+  self_idx[P, O_cap]   row of p's input frame holding the owned node's own
+                       feature (always exists: self-loops put every dst in
+                       the next frontier)
+
+The owned output rows of layer l on partition p ARE layer l+1's input frame
+rows on p (the slicer fixes this order), so layers chain with no gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+static = lambda: dataclasses.field(metadata=dict(static=True), default=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SplitLayer:
+    edge_src: jax.Array   # i32[P, E_cap]
+    edge_dst: jax.Array   # i32[P, E_cap] sorted per partition, pad=dst_cap
+    push_idx: jax.Array   # i32[P, P, S_cap] pad=-1
+    recv_idx: jax.Array   # i32[P, P, S_cap] pad=dst_cap
+    owned_idx: jax.Array  # i32[P, O_cap] pad=-1
+    owned_deg: jax.Array  # f32[P, O_cap] pad=1
+    self_idx: jax.Array   # i32[P, O_cap] pad=0
+    owned_mask: jax.Array  # bool[P, O_cap]
+    num_owned: jax.Array  # i32[P]
+    src_cap: int = static()
+    dst_cap: int = static()
+    out_cap: int = static()
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SplitBatch:
+    """One sliced minibatch. Layers are innermost-first (consumption order);
+    layer l's out_cap == layer l+1's src_cap."""
+
+    layers: list[SplitLayer]
+    input_nodes: jax.Array  # i32[P, F0_cap] global ids of layer-0 frame, pad=-1
+    labels: jax.Array       # i32[P, T_cap] pad=-1
+
+    @property
+    def num_partitions(self) -> int:
+        return self.input_nodes.shape[0]
+
+
+def make_mesh(num_partitions: int, devices=None) -> jax.sharding.Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < num_partitions:
+        raise ValueError(
+            f"need {num_partitions} devices, have {len(devices)}"
+        )
+    return jax.sharding.Mesh(
+        np.array(devices[:num_partitions]), axis_names=("p",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-device (inside shard_map) primitives. All take UNSTACKED arrays (the
+# leading P axis already consumed by shard_map; P-slot axes like push_idx's
+# second axis remain).
+# ---------------------------------------------------------------------------
+
+
+def local_aggregate(x: jax.Array, edge_src, edge_dst, dst_cap: int):
+    """Partial neighbor SUM over this partition's edges."""
+    return jax.ops.segment_sum(
+        x[edge_src], edge_dst, num_segments=dst_cap, indices_are_sorted=True
+    )
+
+
+def shuffle_merge(neigh: jax.Array, push_idx, recv_idx, axis_name: str = "p"):
+    """Exchange boundary partial sums with every other partition over ICI
+    and scatter-add received partials into this partition's dst frame.
+
+    One all_to_all replaces the reference's 12 pairwise P2P copies; the
+    scatter-add replaces mergeKernel (dist_sage.cu:193-228).
+    """
+    valid = (push_idx >= 0)[:, :, None]
+    send = neigh[jnp.maximum(push_idx, 0)] * valid.astype(neigh.dtype)
+    recv = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )
+    flat_idx = recv_idx.reshape(-1)
+    flat_val = recv.reshape(-1, neigh.shape[-1])
+    return neigh.at[flat_idx].add(flat_val, mode="drop")
+
+
+def slice_owned(merged: jax.Array, lyr: SplitLayer, x: jax.Array):
+    """Select owned rows, finish the mean, and fetch self features.
+
+    Returns (self_x[O_cap, H], neigh_mean[O_cap, H], mask[O_cap, 1]).
+    """
+    owned_sum = merged[jnp.maximum(lyr.owned_idx, 0)]
+    neigh_mean = owned_sum / lyr.owned_deg[:, None]
+    self_x = x[lyr.self_idx]
+    mask = lyr.owned_mask[:, None]
+    return self_x, neigh_mean, mask

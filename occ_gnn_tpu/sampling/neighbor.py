@@ -1,0 +1,189 @@
+"""Host-side fanout neighbor sampling -> padded Blocks (single-chip path).
+
+Sampling semantics follow the reference: per seed node take all in-neighbors
+when degree <= fanout, else draw ``fanout`` uniformly *with replacement*
+(/root/reference/cslicer/slicer.cpp:6-22), and append a self-loop edge for
+every seed (/root/reference/python/utils/sampler.py:202-203). Frontier
+deduplication uses first-occurrence order with the dst nodes first, so each
+layer's dst frame is a prefix of the next layer's src frame ("dst-first"
+frames — see occ_gnn_tpu.ops.blocks).
+
+This numpy implementation is the correctness reference; the multithreaded
+C++ service (occ_gnn_tpu/csrc) is the production sampler and is tested for
+parity against this one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from occ_gnn_tpu.data.graph import Graph
+from occ_gnn_tpu.ops.blocks import Block, SampledBatch, block_from_numpy, pad_to
+
+
+def plan_capacities(
+    batch_size: int,
+    fanouts: list[int],
+    num_nodes: int,
+    safety: float = 1.0,
+) -> dict:
+    """Static padding budget per layer.
+
+    ``frame_caps[l]`` is the src-frame capacity of (innermost-first) layer l;
+    ``edge_caps[l]`` the edge capacity. Worst case each frontier node fans
+    out to ``fanout`` new nodes plus itself; everything is clipped at
+    ``num_nodes`` since frames are deduplicated.
+    """
+    # Walk outermost (targets) -> innermost to size frontiers.
+    sizes = [batch_size]
+    for f in fanouts:
+        nxt = sizes[-1] * (f + 1)
+        sizes.append(min(int(nxt * safety), num_nodes))
+    # sizes[0]=targets ... sizes[L]=deepest frontier. Frames innermost-first.
+    frame_caps = list(reversed(sizes))
+    edge_caps = []
+    for l, f in enumerate(reversed(fanouts)):
+        # innermost-first block l: dst frame = frame_caps[l + 1]
+        dst = frame_caps[l + 1]
+        edge_caps.append(dst * (f + 1))
+    return {"frame_caps": frame_caps, "edge_caps": edge_caps}
+
+
+def sample_layer_edges(
+    graph: Graph, frontier: np.ndarray, fanout: int, rng: np.random.Generator
+):
+    """Sample in-edges for each frontier node; returns (dst_local, src_global)
+    including self loops."""
+    indptr, indices = graph.indptr, graph.indices
+    deg = (indptr[frontier + 1] - indptr[frontier]).astype(np.int64)
+    offs = indptr[frontier]
+    small = deg <= fanout
+
+    sm = np.nonzero(small)[0]
+    counts = deg[sm]
+    total = int(counts.sum())
+    if total:
+        e_dst_small = np.repeat(sm, counts)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        e_src_small = indices[np.repeat(offs[sm], counts) + pos]
+    else:
+        e_dst_small = np.empty(0, dtype=np.int64)
+        e_src_small = np.empty(0, dtype=np.int64)
+
+    lg = np.nonzero(~small)[0]
+    if lg.size:
+        draws = rng.integers(0, deg[lg][:, None], size=(lg.size, fanout))
+        e_src_large = indices[(offs[lg][:, None] + draws).ravel()]
+        e_dst_large = np.repeat(lg, fanout)
+    else:
+        e_dst_large = np.empty(0, dtype=np.int64)
+        e_src_large = np.empty(0, dtype=np.int64)
+
+    # Self loops (reference appends them for every seed).
+    e_dst = np.concatenate([np.arange(frontier.shape[0]), e_dst_small, e_dst_large])
+    e_src = np.concatenate([frontier, e_src_small, e_src_large])
+    return e_dst, e_src
+
+
+def dedup_first_occurrence(prefix: np.ndarray, extra: np.ndarray):
+    """Frame = prefix nodes followed by unseen nodes of ``extra`` in first-
+    occurrence order. Returns (frame, rank) where rank maps any value of
+    ``extra`` to its frame row via searchsorted on the sorted uniques."""
+    allv = np.concatenate([prefix, extra])
+    uniq, first_idx = np.unique(allv, return_index=True)
+    order = np.argsort(first_idx, kind="stable")
+    frame = uniq[order]
+    rank = np.empty(uniq.shape[0], dtype=np.int64)
+    rank[order] = np.arange(uniq.shape[0])
+    return frame, uniq, rank
+
+
+class NeighborSampler:
+    """Iterator over padded SampledBatch minibatches.
+
+    Mirrors the iterator protocol of the reference Sampler
+    (/root/reference/python/utils/sampler.py:29-61): shuffles training
+    nodes per epoch, yields one padded batch per ``batch_size`` seeds.
+    """
+
+    def __init__(
+        self,
+        graph: Graph,
+        train_nodes: np.ndarray,
+        fanouts: list[int],
+        batch_size: int,
+        capacities: dict | None = None,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.graph = graph
+        self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
+        self.fanouts = list(fanouts)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.caps = capacities or plan_capacities(
+            batch_size, self.fanouts, graph.num_nodes
+        )
+        self.drop_last = drop_last
+
+    def __iter__(self):
+        order = self.rng.permutation(self.train_nodes.shape[0])
+        nodes = self.train_nodes[order]
+        for i in range(0, nodes.shape[0], self.batch_size):
+            batch = nodes[i : i + self.batch_size]
+            if self.drop_last and batch.shape[0] < self.batch_size:
+                break
+            yield self.sample_batch(batch)
+
+    def __len__(self):
+        n = self.train_nodes.shape[0]
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def sample_batch(self, batch: np.ndarray) -> SampledBatch:
+        g = self.graph
+        frame_caps = self.caps["frame_caps"]
+        edge_caps = self.caps["edge_caps"]
+        num_layers = len(self.fanouts)
+
+        frontier = np.unique(np.asarray(batch, dtype=np.int64))
+        frames = [frontier]
+        raw_blocks = []  # outermost-first (dst_local, src_local, frame sizes)
+        for l, fanout in enumerate(self.fanouts):
+            e_dst, e_src_global = sample_layer_edges(g, frontier, fanout, self.rng)
+            new_frame, uniq, rank = dedup_first_occurrence(frontier, e_src_global)
+            e_src = rank[np.searchsorted(uniq, e_src_global)]
+            raw_blocks.append((e_dst, e_src, frontier.shape[0], new_frame.shape[0]))
+            frontier = new_frame
+            frames.append(frontier)
+
+        # Pack innermost-first for the model.
+        blocks = []
+        for l in range(num_layers):
+            mi = num_layers - 1 - l  # model layer l consumes sampled layer mi
+            e_dst, e_src, n_dst, n_src = raw_blocks[mi]
+            blocks.append(
+                block_from_numpy(
+                    e_src,
+                    e_dst,
+                    num_src=n_src,
+                    num_dst=n_dst,
+                    edge_cap=edge_caps[l],
+                    dst_cap=frame_caps[l + 1],
+                    src_cap=frame_caps[l],
+                )
+            )
+        import jax.numpy as jnp
+
+        input_nodes = pad_to(frames[-1].astype(np.int32), frame_caps[0], -1)
+        targets = frames[0]
+        labels = pad_to(
+            g.labels[targets].astype(np.int32), frame_caps[-1], -1
+        )
+        return SampledBatch(
+            blocks=blocks,
+            input_nodes=jnp.asarray(input_nodes),
+            labels=jnp.asarray(labels),
+        )

@@ -1,0 +1,373 @@
+"""Online minibatch slicing into per-partition split-parallel structures.
+
+This is the heart of the framework — the re-design of the reference's
+slicing algorithm (Python: /root/reference/python/utils/sampler.py:64-134
+``edge_partitioning``; C++: /root/reference/cslicer/slicer.cpp:25-64
+``slice_layer`` + bipartite.cpp ``reorder``): every sampled layer's edges
+are routed to the partition that OWNS THE SOURCE node (where its features
+live), each partition aggregates partial sums locally, and boundary partial
+sums are shuffled to the destination's owner.
+
+Differences from the reference, driven by TPU constraints:
+  * output is fixed-capacity padded arrays (static shapes for XLA), not
+    ragged CSR;
+  * dedup/renumbering uses numpy first-occurrence machinery here and the
+    O(1) mask trick in the C++ service (csrc/), instead of DuplicateRemover
+    objects per graph;
+  * shuffle bookkeeping is emitted as paired (push_idx, recv_idx) index
+    tensors whose pairwise order matches, so the device side needs exactly
+    one all_to_all per layer — no per-pair tensors.
+
+Frame conventions (must hold for the device code in parallel/split.py):
+  * partition p's src frame at depth d = nodes of the global frontier F_d
+    owned by p, in F_d order;  F_{d} is a prefix of F_{d+1} (dst-first
+    sampling), so an owned dst's own feature always exists in the deeper
+    frame (self_idx);
+  * partition p's dst scratch frame = [owned dst nodes in F_d order] ++
+    [foreign dst nodes touched by p's edges, first-occurrence order] —
+    owned rows form the prefix, and their order IS the next-shallower
+    layer's src frame order, chaining layers without reindexing.
+
+This numpy implementation is the correctness reference; the C++ service
+(occ_gnn_tpu/csrc) reproduces it bit-for-bit (tested) at production speed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from occ_gnn_tpu.data.graph import Graph
+from occ_gnn_tpu.ops.blocks import pad_to
+from occ_gnn_tpu.parallel.split import SplitBatch, SplitLayer
+from occ_gnn_tpu.sampling.neighbor import (
+    dedup_first_occurrence,
+    plan_capacities,
+    sample_layer_edges,
+)
+
+
+def rank_within_owner(owner: np.ndarray, num_partitions: int):
+    """rank[i] = position of i among indices with the same owner (stable)."""
+    rank = np.zeros(owner.shape[0], dtype=np.int64)
+    counts = np.zeros(num_partitions, dtype=np.int64)
+    order = np.argsort(owner, kind="stable")
+    sorted_owner = owner[order]
+    starts = np.searchsorted(sorted_owner, np.arange(num_partitions))
+    within = np.arange(owner.shape[0]) - starts[sorted_owner]
+    rank[order] = within
+    counts = np.bincount(owner, minlength=num_partitions)
+    return rank, counts
+
+
+def plan_split_capacities(
+    batch_size: int,
+    fanouts: list[int],
+    num_nodes: int,
+    num_partitions: int,
+    skew: float | None = None,
+) -> dict:
+    """Uniform per-partition padding budgets.
+
+    ``skew`` is the load-imbalance headroom over a perfect 1/P split;
+    skew=None uses the always-safe single-chip capacities (every partition
+    padded as if it got the whole batch) — correct but memory-hungry, meant
+    for tests. Production uses measured capacities (measure_split_capacities).
+    """
+    single = plan_capacities(batch_size, fanouts, num_nodes)
+    P = num_partitions
+    factor = 1.0 if skew is None else skew / P
+
+    def shrink(x):
+        return max(int(np.ceil(x * factor)), 8)
+
+    frame_caps = [shrink(c) for c in single["frame_caps"]]
+    edge_caps = [shrink(c) for c in single["edge_caps"]]
+    out_caps = frame_caps[1:]
+    dst_caps = [min(2 * frame_caps[l + 1], frame_caps[l + 1] + edge_caps[l])
+                for l in range(len(fanouts))]
+    shuffle_caps = [frame_caps[l + 1] for l in range(len(fanouts))]
+    return {
+        "frame_caps": frame_caps,
+        "edge_caps": edge_caps,
+        "dst_caps": dst_caps,
+        "out_caps": out_caps,
+        "shuffle_caps": shuffle_caps,
+    }
+
+
+@dataclasses.dataclass
+class _RawLayer:
+    """Global-id view of one sampled layer (outermost-first)."""
+
+    e_dst: np.ndarray        # local into frontier F_d
+    e_src_global: np.ndarray
+    frontier: np.ndarray     # F_d
+    frame: np.ndarray        # F_{d+1} (dst-first)
+    uniq: np.ndarray         # sorted(frame)
+    rank: np.ndarray         # uniq order -> frame row
+
+
+class SplitSampler:
+    """Samples a minibatch and slices it into a SplitBatch.
+
+    Iterator protocol mirrors the reference Sampler (sampler.py:29-61).
+    """
+
+    def __init__(
+        self,
+        graph: Graph,
+        train_nodes: np.ndarray,
+        partition_map: np.ndarray,
+        num_partitions: int,
+        fanouts: list[int],
+        batch_size: int,
+        capacities: dict | None = None,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.graph = graph
+        self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
+        self.wmap = np.asarray(partition_map, dtype=np.int64)
+        self.P = num_partitions
+        assert self.wmap.max() < num_partitions
+        self.fanouts = list(fanouts)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.caps = capacities or plan_split_capacities(
+            batch_size, self.fanouts, graph.num_nodes, num_partitions
+        )
+        self.drop_last = drop_last
+
+    def __iter__(self):
+        order = self.rng.permutation(self.train_nodes.shape[0])
+        nodes = self.train_nodes[order]
+        for i in range(0, nodes.shape[0], self.batch_size):
+            batch = nodes[i : i + self.batch_size]
+            if self.drop_last and batch.shape[0] < self.batch_size:
+                break
+            yield self.sample_batch(batch)
+
+    def __len__(self):
+        n = self.train_nodes.shape[0]
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    # -- sampling (global ids) ---------------------------------------------
+
+    def _sample_raw(self, batch: np.ndarray) -> list[_RawLayer]:
+        frontier = np.unique(np.asarray(batch, dtype=np.int64))
+        raw = []
+        for fanout in self.fanouts:
+            e_dst, e_src_global = sample_layer_edges(
+                self.graph, frontier, fanout, self.rng
+            )
+            frame, uniq, rank = dedup_first_occurrence(frontier, e_src_global)
+            raw.append(
+                _RawLayer(e_dst, e_src_global, frontier, frame, uniq, rank)
+            )
+            frontier = frame
+        return raw
+
+    # -- slicing ------------------------------------------------------------
+
+    def sample_batch(self, batch: np.ndarray) -> SplitBatch:
+        return self.slice_raw(self._sample_raw(batch))
+
+    def slice_raw(self, raw: list[_RawLayer]) -> SplitBatch:
+        import jax.numpy as jnp
+
+        P = self.P
+        L = len(raw)
+        caps = self.caps
+
+        layers = []
+        for l in range(L):  # innermost-first output order
+            rl = raw[L - 1 - l]
+            layers.append(self._slice_layer(rl, l))
+
+        # Layer-0 input frame global ids per partition.
+        deepest = raw[-1].frame
+        owner = self.wmap[deepest]
+        f0_cap = caps["frame_caps"][0]
+        input_nodes = np.stack(
+            [
+                pad_to(deepest[owner == p].astype(np.int32), f0_cap, -1)
+                for p in range(P)
+            ]
+        )
+        # Labels of target nodes per partition, in owned (frontier) order
+        # (reference partition_labels, sampler.py:209-225).
+        targets = raw[0].frontier
+        towner = self.wmap[targets]
+        t_cap = caps["out_caps"][-1]
+        labels = np.stack(
+            [
+                pad_to(
+                    self.graph.labels[targets[towner == p]].astype(np.int32),
+                    t_cap,
+                    -1,
+                )
+                for p in range(P)
+            ]
+        )
+        return SplitBatch(
+            layers=layers,
+            input_nodes=jnp.asarray(input_nodes),
+            labels=jnp.asarray(labels),
+        )
+
+    def _slice_layer(self, rl: _RawLayer, l: int) -> SplitLayer:
+        import jax.numpy as jnp
+
+        P = self.P
+        caps = self.caps
+        E_cap = caps["edge_caps"][l]
+        D_cap = caps["dst_caps"][l]
+        O_cap = caps["out_caps"][l]
+        S_cap = caps["shuffle_caps"][l]
+        F_cap = caps["frame_caps"][l]
+
+        F_d = rl.frontier
+        frame = rl.frame
+        wmap = self.wmap
+
+        dst_owner = wmap[F_d]                      # owner of each dst node
+        frame_owner = wmap[frame]
+        frame_rank, _ = rank_within_owner(frame_owner, P)
+        dst_rank, dst_counts = rank_within_owner(dst_owner, P)
+
+        src_global = rl.e_src_global
+        src_frame_pos = rl.rank[np.searchsorted(rl.uniq, src_global)]
+        e_route = frame_owner[src_frame_pos]       # partition owning the src
+        e_src_local = frame_rank[src_frame_pos]    # row in owner's src frame
+        e_dst_owner = dst_owner[rl.e_dst]
+
+        # Total sampled in-degree per dst (for the exact mean).
+        deg = np.bincount(rl.e_dst, minlength=F_d.shape[0]).astype(np.float32)
+
+        edge_src = np.zeros((P, E_cap), np.int32)
+        edge_dst = np.full((P, E_cap), D_cap, np.int32)
+        push_idx = np.full((P, P, S_cap), -1, np.int32)
+        recv_idx = np.full((P, P, S_cap), D_cap, np.int32)
+        owned_idx = np.full((P, O_cap), -1, np.int32)
+        owned_deg = np.ones((P, O_cap), np.float32)
+        self_idx = np.zeros((P, O_cap), np.int32)
+        owned_mask = np.zeros((P, O_cap), bool)
+        num_owned = np.zeros((P,), np.int32)
+
+        for p in range(P):
+            sel = np.nonzero(e_route == p)[0]
+            n_own = int(dst_counts[p])
+            if n_own > O_cap:
+                raise ValueError(
+                    f"owned capacity overflow: partition {p} owns {n_own} "
+                    f"dst nodes, cap {O_cap}"
+                )
+            # dst frame: owned prefix, then foreign dsts (first occurrence).
+            ed = rl.e_dst[sel]
+            ed_owner = e_dst_owner[sel]
+            foreign_sel = ed_owner != p
+            foreign_dst = ed[foreign_sel]
+            funiq, ffirst = np.unique(foreign_dst, return_index=True)
+            forder = np.argsort(ffirst, kind="stable")
+            foreign_frame = funiq[forder]           # F_d rows, frame order
+            frank = np.empty(funiq.shape[0], dtype=np.int64)
+            frank[forder] = np.arange(funiq.shape[0])
+            if n_own + foreign_frame.shape[0] > D_cap:
+                raise ValueError(
+                    f"dst frame overflow: partition {p}: {n_own} owned + "
+                    f"{foreign_frame.shape[0]} foreign > cap {D_cap}"
+                )
+            # local dst row for each routed edge
+            ed_local = dst_rank[ed].copy()
+            if funiq.size:
+                fpos = np.searchsorted(funiq, ed[foreign_sel])
+                ed_local[foreign_sel] = n_own + frank[fpos]
+            if sel.shape[0] > E_cap:
+                raise ValueError(
+                    f"edge capacity overflow: partition {p}: {sel.shape[0]} "
+                    f"edges > cap {E_cap}"
+                )
+            order = np.argsort(ed_local, kind="stable")
+            edge_src[p, : sel.shape[0]] = e_src_local[sel][order]
+            edge_dst[p, : sel.shape[0]] = ed_local[order]
+
+            # shuffle: p sends its foreign partial rows to their owners.
+            fowner = dst_owner[foreign_frame]
+            for q in range(P):
+                if q == p:
+                    continue
+                to_q = foreign_frame[fowner == q]   # F_d node rows for q
+                if to_q.shape[0] > S_cap:
+                    raise ValueError(
+                        f"shuffle overflow {p}->{q}: {to_q.shape[0]} > "
+                        f"cap {S_cap}"
+                    )
+                k = to_q.shape[0]
+                push_idx[p, q, :k] = (
+                    n_own + frank[np.searchsorted(funiq, to_q)]
+                )
+                # matching receive rows on q: q's owned prefix rank.
+                recv_idx[q, p, :k] = dst_rank[to_q]
+
+            own_nodes = np.nonzero(dst_owner == p)[0]  # F_d rows, order
+            owned_idx[p, :n_own] = dst_rank[own_nodes]  # == arange(n_own)
+            owned_deg[p, :n_own] = deg[own_nodes]
+            # own feature row in p's src frame: F_d is a prefix of frame.
+            self_idx[p, :n_own] = frame_rank[own_nodes]
+            owned_mask[p, :n_own] = True
+            num_owned[p] = n_own
+
+        return SplitLayer(
+            edge_src=jnp.asarray(edge_src),
+            edge_dst=jnp.asarray(edge_dst),
+            push_idx=jnp.asarray(push_idx),
+            recv_idx=jnp.asarray(recv_idx),
+            owned_idx=jnp.asarray(owned_idx),
+            owned_deg=jnp.asarray(owned_deg),
+            self_idx=jnp.asarray(self_idx),
+            owned_mask=jnp.asarray(owned_mask),
+            num_owned=jnp.asarray(num_owned),
+            src_cap=F_cap,
+            dst_cap=D_cap,
+            out_cap=O_cap,
+        )
+
+
+def raw_to_single_batch(raw: list[_RawLayer], graph: Graph, caps: dict):
+    """Build a single-chip SampledBatch from the same raw sampled layers —
+    the split and single paths then share identical sampled edges, which is
+    how split==single allclose parity is established (the reference kept
+    `blocks, layers` around "for correctness", sampler.py:60-61)."""
+    from occ_gnn_tpu.ops.blocks import SampledBatch, block_from_numpy
+    import jax.numpy as jnp
+
+    L = len(raw)
+    blocks = []
+    for l in range(L):
+        rl = raw[L - 1 - l]
+        src_frame_pos = rl.rank[np.searchsorted(rl.uniq, rl.e_src_global)]
+        blocks.append(
+            block_from_numpy(
+                src_frame_pos,
+                rl.e_dst,
+                num_src=rl.frame.shape[0],
+                num_dst=rl.frontier.shape[0],
+                edge_cap=caps["edge_caps"][l],
+                dst_cap=caps["frame_caps"][l + 1],
+                src_cap=caps["frame_caps"][l],
+            )
+        )
+    input_nodes = pad_to(
+        raw[-1].frame.astype(np.int32), caps["frame_caps"][0], -1
+    )
+    targets = raw[0].frontier
+    labels = pad_to(
+        graph.labels[targets].astype(np.int32), caps["frame_caps"][-1], -1
+    )
+    return SampledBatch(
+        blocks=blocks,
+        input_nodes=jnp.asarray(input_nodes),
+        labels=jnp.asarray(labels),
+    )

@@ -1,0 +1,80 @@
+"""Dataset layer tests: graph container, binary format roundtrip with
+checksum validation (reference pattern: convert writes checksums,
+cslicer/dataset.cpp asserts them), partitioners."""
+
+import numpy as np
+import pytest
+
+from occ_gnn_tpu.data import (
+    Graph,
+    block_graph,
+    load_graph,
+    partition_graph,
+    random_graph,
+    save_graph,
+)
+from occ_gnn_tpu.data.partition import edge_cut_fraction
+
+
+def test_graph_invariants(small_graph):
+    g = small_graph
+    assert g.num_nodes == 500
+    assert g.indptr.shape[0] == g.num_nodes + 1
+    assert int(g.indptr[-1]) == g.num_edges
+    assert g.in_degrees().sum() == g.num_edges
+    assert g.out_degrees().sum() == g.num_edges
+    assert g.features.shape == (500, 16)
+    # masks partition the node set
+    total = g.train_mask.sum() + g.val_mask.sum() + g.test_mask.sum()
+    assert total == g.num_nodes
+
+
+def test_binary_roundtrip(tmp_path, small_graph):
+    g = small_graph
+    partition_graph(g, 4, mode="round_robin")
+    save_graph(g, str(tmp_path), "tiny")
+    g2 = load_graph(str(tmp_path), "tiny")
+    np.testing.assert_array_equal(g.indptr, g2.indptr)
+    np.testing.assert_array_equal(g.indices, g2.indices)
+    np.testing.assert_allclose(g.features, g2.features)
+    np.testing.assert_array_equal(g.labels, g2.labels)
+    np.testing.assert_array_equal(g.partition_map, g2.partition_map)
+    np.testing.assert_array_equal(g.train_mask, g2.train_mask)
+    assert g2.num_classes == g.num_classes
+
+
+def test_checksum_detects_corruption(tmp_path, small_graph):
+    import os
+
+    save_graph(small_graph, str(tmp_path), "c")
+    path = os.path.join(str(tmp_path), "c", "indices.bin")
+    data = np.fromfile(path, dtype=np.int64)
+    data[0] += 1
+    data.tofile(path)
+    with pytest.raises(AssertionError, match="edge checksum"):
+        load_graph(str(tmp_path), "c")
+
+
+@pytest.mark.parametrize("mode", ["round_robin", "random", "greedy"])
+def test_partition_modes(small_graph, mode):
+    pmap = partition_graph(small_graph, 4, mode=mode, attach=False)
+    assert pmap.shape == (small_graph.num_nodes,)
+    assert pmap.min() >= 0 and pmap.max() < 4
+    counts = np.bincount(pmap, minlength=4)
+    assert counts.min() > 0
+
+
+def test_greedy_beats_random_cut():
+    g = block_graph(num_nodes=600, num_blocks=4, avg_degree=8,
+                    cross_fraction=0.05, seed=3)
+    rand = partition_graph(g, 4, mode="random", attach=False)
+    greedy = partition_graph(g, 4, mode="greedy", attach=False)
+    assert edge_cut_fraction(g, greedy) < edge_cut_fraction(g, rand)
+
+
+def test_greedy_balance():
+    g = random_graph(num_nodes=1000, avg_degree=8, seed=4)
+    pmap = partition_graph(g, 4, mode="greedy", attach=False)
+    deg = g.in_degrees() + g.out_degrees() + 1
+    loads = np.array([deg[pmap == p].sum() for p in range(4)], dtype=float)
+    assert loads.max() / loads.mean() < 1.25

@@ -1,0 +1,229 @@
+"""Split-parallelism correctness: slicer invariants, and the headline
+guarantee — split-parallel forward/backward over a 4-device mesh equals the
+single-chip path allclose (the reference could only eyeball this; we built
+both paths off identical raw samples so it is exact)."""
+
+import numpy as np
+import pytest
+import torch  # noqa: F401  (keeps torch import order consistent)
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from occ_gnn_tpu.data import partition_graph
+from occ_gnn_tpu.models import SAGEModel
+from occ_gnn_tpu.models.common import masked_cross_entropy
+from occ_gnn_tpu.parallel.model import (
+    SplitGCN,
+    SplitSAGE,
+    make_split_forward,
+    make_split_train_step,
+)
+from occ_gnn_tpu.parallel.split import make_mesh
+from occ_gnn_tpu.sampling.slicer import SplitSampler, raw_to_single_batch
+from occ_gnn_tpu.training import gather_features
+
+P = 4
+
+
+@pytest.fixture(scope="module")
+def sliced(small_graph):
+    g = small_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    sampler = SplitSampler(g, g.train_nodes(), pmap, P, [4, 3], 32, seed=7)
+    batch_nodes = g.train_nodes()[:32]
+    raw = sampler._sample_raw(batch_nodes)
+    split_batch = sampler.slice_raw(raw)
+    single_batch = raw_to_single_batch(raw, g, sampler.caps)
+    return g, pmap, sampler, raw, split_batch, single_batch
+
+
+def test_slicer_edge_conservation(sliced):
+    """Total valid edges across partitions == total sampled edges per layer
+    (reference assert at sampler.py:125-133)."""
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    L = len(raw)
+    for l, lyr in enumerate(split_batch.layers):
+        rl = raw[L - 1 - l]
+        dst = np.asarray(lyr.edge_dst)
+        valid = (dst < lyr.dst_cap).sum()
+        assert valid == rl.e_dst.shape[0]
+
+
+def test_slicer_owned_coverage(sliced):
+    """Every frontier node appears as an owned node on exactly its owner."""
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    L = len(raw)
+    for l, lyr in enumerate(split_batch.layers):
+        rl = raw[L - 1 - l]
+        total_owned = int(np.asarray(lyr.num_owned).sum())
+        assert total_owned == rl.frontier.shape[0]
+        for p in range(P):
+            n = int(np.asarray(lyr.num_owned)[p])
+            own_global = rl.frontier[pmap[rl.frontier] == p]
+            assert n == own_global.shape[0]
+
+
+def test_slicer_push_recv_pairing(sliced):
+    """push_idx on p and recv_idx on q reference the same global nodes in
+    the same order, and recv targets land in q's owned prefix."""
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    L = len(raw)
+    for l, lyr in enumerate(split_batch.layers):
+        rl = raw[L - 1 - l]
+        push = np.asarray(lyr.push_idx)
+        recv = np.asarray(lyr.recv_idx)
+        for p in range(P):
+            for q in range(P):
+                if p == q:
+                    continue
+                k_push = (push[p, q] >= 0).sum()
+                k_recv = (recv[q, p] < lyr.dst_cap).sum()
+                assert k_push == k_recv
+                if k_push:
+                    # recv rows must be within q's owned prefix
+                    n_own_q = int(np.asarray(lyr.num_owned)[q])
+                    rows = recv[q, p, :k_recv]
+                    assert (rows < n_own_q).all()
+                    # the nodes q receives from p are owned by q
+                    own_q = rl.frontier[pmap[rl.frontier] == q]
+                    assert (pmap[own_q[rows]] == q).all()
+
+
+def test_slicer_degree_totals(sliced):
+    """owned_deg == total sampled in-degree (incl self loop) of each node."""
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    L = len(raw)
+    for l, lyr in enumerate(split_batch.layers):
+        rl = raw[L - 1 - l]
+        deg = np.bincount(rl.e_dst, minlength=rl.frontier.shape[0])
+        od = np.asarray(lyr.owned_deg)
+        for p in range(P):
+            n = int(np.asarray(lyr.num_owned)[p])
+            own_rows = np.nonzero(pmap[rl.frontier] == p)[0]
+            np.testing.assert_array_equal(od[p, :n], deg[own_rows])
+
+
+def _gather_split_features(g, batch):
+    x = np.stack(
+        [
+            np.asarray(gather_features(g.features, batch.input_nodes[p]))
+            for p in range(batch.input_nodes.shape[0])
+        ]
+    )
+    return jnp.asarray(x)
+
+
+def test_split_forward_matches_single_chip(sliced):
+    g, pmap, sampler, raw, split_batch, single_batch = sliced
+    mesh = make_mesh(P)
+    model_s = SAGEModel(g.feature_dim, 8, g.num_classes, 2)
+    model_d = SplitSAGE(g.feature_dim, 8, g.num_classes, 2)
+    params = model_s.init(jax.random.PRNGKey(0))
+
+    x0 = gather_features(g.features, single_batch.input_nodes)
+    single_logits = np.asarray(model_s.apply(params, single_batch, x0))
+
+    fwd = make_split_forward(model_d, mesh)
+    xs = _gather_split_features(g, split_batch)
+    split_logits = np.asarray(fwd(params, split_batch, xs))
+
+    targets = raw[0].frontier
+    for p in range(P):
+        rows = np.nonzero(pmap[targets] == p)[0]
+        np.testing.assert_allclose(
+            split_logits[p, : rows.shape[0]],
+            single_logits[rows],
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+
+def test_split_grads_match_single_chip(sliced):
+    g, pmap, sampler, raw, split_batch, single_batch = sliced
+    mesh = make_mesh(P)
+    model_s = SAGEModel(g.feature_dim, 8, g.num_classes, 2)
+    model_d = SplitSAGE(g.feature_dim, 8, g.num_classes, 2)
+    params = model_s.init(jax.random.PRNGKey(1))
+
+    x0 = gather_features(g.features, single_batch.input_nodes)
+
+    def single_loss(prm):
+        logits = model_s.apply(prm, single_batch, x0)
+        return masked_cross_entropy(logits, single_batch.labels)
+
+    l_single, g_single = jax.value_and_grad(single_loss)(params)
+
+    opt = optax.sgd(0.0)  # lr 0: step returns loss/grads without moving
+    step = make_split_train_step(model_d, opt, mesh)
+    xs = _gather_split_features(g, split_batch)
+    opt_state = opt.init(params)
+    _, _, l_split, correct, cnt = step(params, opt_state, split_batch, xs)
+
+    np.testing.assert_allclose(float(l_split), float(l_single), rtol=1e-5)
+    assert int(cnt) == raw[0].frontier.shape[0]
+
+    # Gradients via explicit value_and_grad on the split loss.
+    from jax.sharding import PartitionSpec as PS
+
+    def split_loss(prm):
+        from occ_gnn_tpu.parallel.model import _local_ce, _unstack
+
+        def body(prm, layers, labels, xs):
+            layers_l = [_unstack(l) for l in layers]
+            logits = model_d.forward_local(prm, layers_l, xs[0])
+            nll, cnt, _ = _local_ce(logits, labels[0])
+            return jax.lax.psum(nll, "p") / jnp.maximum(
+                jax.lax.psum(cnt, "p"), 1
+            )
+
+        mapped = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(PS(), PS("p"), PS("p"), PS("p")),
+            out_specs=PS(),
+            check_vma=False,
+        )
+        return mapped(prm, split_batch.layers, split_batch.labels, xs)
+
+    g_split = jax.grad(split_loss)(params)
+    flat_s, _ = jax.tree_util.tree_flatten(g_single)
+    flat_d, _ = jax.tree_util.tree_flatten(g_split)
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_split_training_learns(community_graph):
+    g = community_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    model = SplitSAGE(g.feature_dim, 32, g.num_classes, 2)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    mesh = make_mesh(P)
+    step = make_split_train_step(model, opt, mesh)
+    sampler = SplitSampler(g, g.train_nodes(), pmap, P, [5, 5], 128, seed=0)
+    acc = 0.0
+    for epoch in range(4):
+        correct = total = 0
+        for batch in sampler:
+            xs = _gather_split_features(g, batch)
+            params, opt_state, loss, c, t = step(params, opt_state, batch, xs)
+            correct += int(c)
+            total += int(t)
+        acc = correct / total
+    assert acc > 0.9, f"split train acc {acc}"
+
+
+def test_split_gcn_runs(sliced):
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    mesh = make_mesh(P)
+    model = SplitGCN(g.feature_dim, 8, g.num_classes, 2)
+    params = model.init(jax.random.PRNGKey(3))
+    fwd = make_split_forward(model, mesh)
+    xs = _gather_split_features(g, split_batch)
+    logits = np.asarray(fwd(params, split_batch, xs))
+    assert np.isfinite(logits).all()
