@@ -1,0 +1,220 @@
+"""Per-partition HBM feature caches.
+
+TPU re-design of the reference MemoryManager
+(/root/reference/python/utils/memory_manager.py):
+
+  * Each partition's device frame is a single static-shaped array
+    ``[static_cap + refresh_cap, H]``: a *static* region filled once at
+    init (degree-sorted top-k of the partition when cache_pct <= 1/P;
+    whole partition + highest-degree foreign nodes when > 1/P — semantics
+    of memory_manager.py:51-66), and a *dynamic tail* rebuilt each batch
+    by ``refresh`` (memory_manager.py:75-106: evict previous fill, copy
+    features of the batch's missing owned nodes).
+  * Host-side maps mirror the reference's: ``node_mask[N, P]`` (is node
+    cached on p — node_gpu_mask) and ``global_to_local[N, P]`` (frame row
+    or -1). The slicer reads them to route cache-aware "natural" edges and
+    to emit frame-local src indices.
+  * Device updates are static-shaped: one ``frames.at[:, S:, :].set(tail)``
+    per batch, so the training step never recompiles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from occ_gnn_tpu.data.graph import Graph
+
+
+class CachePlan:
+    """Host-side cache policy + index maps for P partitions."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        partition_map: np.ndarray,
+        num_partitions: int,
+        cache_percentage: float,
+        refresh_cap: int,
+    ):
+        assert 0.0 < cache_percentage <= 1.0
+        self.graph = graph
+        self.P = num_partitions
+        self.wmap = np.asarray(partition_map, dtype=np.int64)
+        self.cache_percentage = cache_percentage
+        self.refresh_cap = refresh_cap
+        n = graph.num_nodes
+        self.static_size = int(cache_percentage * n)
+        self.frame_cap = self.static_size + refresh_cap
+        self.node_mask = np.zeros((n, num_partitions), dtype=bool)
+        self.global_to_local = np.full((n, num_partitions), -1, dtype=np.int64)
+        self.static_nodes: list[np.ndarray] = []
+        self.needs_refresh = cache_percentage < (1.0 / num_partitions)
+        out_deg = graph.out_degrees()
+        for p in range(num_partitions):
+            own = np.nonzero(self.wmap == p)[0]
+            if self.needs_refresh:
+                order = np.argsort(-out_deg[own], kind="stable")
+                cached = own[order[: self.static_size]]
+            else:
+                foreign = np.nonzero(self.wmap != p)[0]
+                order = np.argsort(-out_deg[foreign], kind="stable")
+                extra = max(self.static_size - own.shape[0], 0)
+                cached = np.concatenate([own, foreign[order[:extra]]])
+                # static region is sized for the worst partition
+                self.frame_cap = max(
+                    self.frame_cap, cached.shape[0] + refresh_cap
+                )
+            self.static_nodes.append(cached)
+            self.node_mask[cached, p] = True
+            self.global_to_local[cached, p] = np.arange(cached.shape[0])
+        self.static_sizes = np.array(
+            [c.shape[0] for c in self.static_nodes], dtype=np.int64
+        )
+        self.tail_start = int(self.static_sizes.max())
+        self.frame_cap = self.tail_start + refresh_cap
+        self._dynamic: list[np.ndarray] = [
+            np.empty(0, dtype=np.int64) for _ in range(num_partitions)
+        ]
+
+    def static_features(self) -> np.ndarray:
+        """[P, frame_cap, H] initial frames (tail zeroed)."""
+        H = self.graph.feature_dim
+        out = np.zeros((self.P, self.frame_cap, H), dtype=np.float32)
+        for p in range(self.P):
+            rows = self.static_nodes[p]
+            out[p, : rows.shape[0]] = self.graph.features[rows]
+        return out
+
+    def refresh(self, last_layer_nodes: np.ndarray) -> np.ndarray | None:
+        """Evict the previous batch's dynamic fill and stage features of the
+        batch's missing owned nodes. Returns the new tail [P, R_cap, H] to
+        write at frames[:, tail_start:, :], or None when no refresh needed
+        (cache >= 1/P — reference memory_manager.py:76-78)."""
+        if not self.needs_refresh:
+            return None
+        for p in range(self.P):
+            prev = self._dynamic[p]
+            if prev.size:
+                self.global_to_local[prev, p] = -1
+                self.node_mask[prev, p] = False
+            self._dynamic[p] = np.empty(0, dtype=np.int64)
+        nodes = np.asarray(last_layer_nodes, dtype=np.int64)
+        H = self.graph.feature_dim
+        tail = np.zeros((self.P, self.refresh_cap, H), dtype=np.float32)
+        for p in range(self.P):
+            own = nodes[self.wmap[nodes] == p]
+            missing = own[self.global_to_local[own, p] == -1]
+            if missing.shape[0] > self.refresh_cap:
+                raise ValueError(
+                    f"refresh overflow: partition {p} misses "
+                    f"{missing.shape[0]} nodes, refresh_cap "
+                    f"{self.refresh_cap}"
+                )
+            k = missing.shape[0]
+            if k:
+                tail[p, :k] = self.graph.features[missing]
+                self.global_to_local[missing, p] = self.tail_start + np.arange(k)
+                self.node_mask[missing, p] = True
+                self._dynamic[p] = missing
+        return tail
+
+
+class SplitFeatureCache:
+    """Device-side frames for the split-parallel path."""
+
+    def __init__(self, plan: CachePlan, sharding=None):
+        import jax.numpy as jnp
+
+        self.plan = plan
+        frames = jnp.asarray(plan.static_features())
+        if sharding is not None:
+            import jax
+
+            frames = jax.device_put(frames, sharding)
+        self.frames = frames
+        self._sharding = sharding
+        self._update = None
+
+    def refresh(self, last_layer_nodes: np.ndarray) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        tail = self.plan.refresh(last_layer_nodes)
+        if tail is None:
+            return
+        if self._update is None:
+            ts = self.plan.tail_start
+
+            @jax.jit
+            def update(frames, tail):
+                return frames.at[:, ts:, :].set(tail)
+
+            self._update = update
+        tail = jnp.asarray(tail)
+        if self._sharding is not None:
+            tail = jax.device_put(tail, self._sharding)
+        self.frames = self._update(self.frames, tail)
+
+
+class SingleChipCache:
+    """PaGraph-style static cache for the single-chip/DP path
+    (/root/reference/python/pa_cache_multi_gpu.py:43-90): global
+    degree-sorted top-k on device; per batch the input frame is assembled
+    from cache hits (device gather) + misses (host copy). Tracks hit rate."""
+
+    def __init__(self, graph: Graph, cache_percentage: float,
+                 input_frame_cap: int):
+        import jax.numpy as jnp
+
+        self.graph = graph
+        n = graph.num_nodes
+        self.num_cached = int(cache_percentage * n)
+        order = np.argsort(-graph.out_degrees(), kind="stable")
+        self.cached_nodes = order[: self.num_cached]
+        self.global_to_local = np.full(n, -1, dtype=np.int64)
+        self.global_to_local[self.cached_nodes] = np.arange(self.num_cached)
+        self.frame = jnp.asarray(graph.features[self.cached_nodes])
+        self.input_frame_cap = input_frame_cap
+        self.hits = 0
+        self.misses = 0
+        self._assemble = None
+
+    @property
+    def hit_rate(self) -> float:
+        t = self.hits + self.misses
+        return self.hits / t if t else 0.0
+
+    def load_input_frame(self, input_nodes: np.ndarray):
+        """x0[F_cap, H] for the sampled batch's input frame: cached rows
+        gathered on device, missing rows host->device (the load_subtensor
+        hit/miss split, pa_cache_multi_gpu.py:62-90)."""
+        import jax
+        import jax.numpy as jnp
+
+        idx = np.asarray(input_nodes)
+        valid = idx >= 0
+        safe = np.where(valid, idx, 0)
+        local = self.global_to_local[safe]
+        hit = (local >= 0) & valid
+        miss = (~hit) & valid
+        self.hits += int(hit.sum())
+        self.misses += int(miss.sum())
+        miss_feats = np.zeros(
+            (self.input_frame_cap, self.graph.feature_dim), np.float32
+        )
+        miss_rows = np.nonzero(miss)[0]
+        miss_feats[miss_rows] = self.graph.features[idx[miss_rows]]
+        if self._assemble is None:
+
+            @jax.jit
+            def assemble(frame, local, hit, miss_feats):
+                gathered = frame[jnp.maximum(local, 0)]
+                return jnp.where(hit[:, None], gathered, miss_feats)
+
+            self._assemble = assemble
+        return self._assemble(
+            self.frame,
+            jnp.asarray(local),
+            jnp.asarray(hit),
+            jnp.asarray(miss_feats),
+        )

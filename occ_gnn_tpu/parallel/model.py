@@ -20,12 +20,14 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
-from occ_gnn_tpu.models.common import linear, linear_init
+from occ_gnn_tpu.models.common import linear, linear_init, xavier_uniform
 from occ_gnn_tpu.parallel.split import (
     SplitBatch,
     SplitLayer,
     local_aggregate,
+    reverse_shuffle,
     shuffle_merge,
+    shuffle_softmax_merge,
     slice_owned,
 )
 
@@ -93,6 +95,101 @@ class SplitGCN(SplitSAGE):
         merged = shuffle_merge(neigh, lyr.push_idx, lyr.recv_idx)
         _, neigh_mean, mask = slice_owned(merged, lyr, x)
         return linear(params, neigh_mean) * mask
+
+
+class SplitGAT:
+    """Split-parallel GAT — the component the reference only stubbed
+    (/root/reference/python/layers/dist_gatconv.py:3-6).
+
+    Distributed segment-softmax per layer in exactly TWO all_to_alls:
+      1. reverse shuffle: owners distribute per-dst attention terms
+         er_v = a_r . Wx_v to the partitions holding v's edges;
+      2. forward shuffle: (max, sum-exp, weighted-value) triples are merged
+         at the owner with streaming-softmax rescaling (exact numerics).
+    """
+
+    def __init__(self, in_dim, hidden, num_classes, num_layers,
+                 num_heads: int = 4, negative_slope: float = 0.2,
+                 dropout: float = 0.0):
+        self.in_dim = in_dim
+        self.hidden = hidden
+        self.num_classes = num_classes
+        self.num_layers = num_layers
+        self.num_heads = num_heads
+        self.negative_slope = negative_slope
+        self.dropout = dropout
+
+    def init(self, key) -> dict:
+        h, c, k = self.hidden, self.num_classes, self.num_heads
+        ins = [self.in_dim] + [h * k] * (self.num_layers - 1)
+        outs = [h] * (self.num_layers - 1) + [c]
+        params = {}
+        for i in range(self.num_layers):
+            key, wk, lk, rk = jax.random.split(key, 4)
+            params[f"layer_{i}"] = {
+                "w": xavier_uniform(wk, (ins[i], k * outs[i])),
+                "attn_l": xavier_uniform(lk, (k, outs[i])),
+                "attn_r": xavier_uniform(rk, (k, outs[i])),
+                "b": jnp.zeros((k * outs[i],), jnp.float32),
+            }
+        return params
+
+    def layer(self, p, lyr: SplitLayer, x: jax.Array, is_last: bool):
+        k = self.num_heads
+        d_out = p["attn_l"].shape[1]
+        dst_cap = lyr.dst_cap
+        feat = (x @ p["w"]).reshape(-1, k, d_out)      # [F_cap, K, D]
+        el = jnp.einsum("skd,kd->sk", feat, p["attn_l"])
+        # er on the dst frame: owned prefix computed from own features,
+        # foreign rows filled by the reverse shuffle from their owners.
+        er_own = jnp.einsum(
+            "skd,kd->sk", feat[lyr.self_idx], p["attn_r"]
+        ) * lyr.owned_mask[:, None]
+        er_frame = jnp.zeros((dst_cap, k), feat.dtype)
+        tgt = jnp.where(lyr.owned_idx < 0, dst_cap, lyr.owned_idx)
+        er_frame = er_frame.at[tgt].set(er_own, mode="drop")
+        er_frame = reverse_shuffle(
+            er_frame, lyr.push_idx, lyr.recv_idx, dst_cap
+        )
+        safe_dst = jnp.minimum(lyr.edge_dst, dst_cap - 1)
+        scores = el[lyr.edge_src] + er_frame[safe_dst]
+        scores = jax.nn.leaky_relu(scores, self.negative_slope)
+        # Local streaming-softmax partials over this partition's edges.
+        m_loc = jax.ops.segment_max(
+            scores, lyr.edge_dst, num_segments=dst_cap,
+            indices_are_sorted=True,
+        )
+        safe_m = jnp.where(jnp.isfinite(m_loc), m_loc, 0.0)
+        pvals = jnp.exp(scores - safe_m[safe_dst])
+        pvals = jnp.where(
+            (lyr.edge_dst < dst_cap)[:, None], pvals, 0.0
+        )
+        s_loc = jax.ops.segment_sum(
+            pvals, lyr.edge_dst, num_segments=dst_cap,
+            indices_are_sorted=True,
+        )
+        v_loc = jax.ops.segment_sum(
+            pvals[:, :, None] * feat[lyr.edge_src],
+            lyr.edge_dst, num_segments=dst_cap, indices_are_sorted=True,
+        )
+        s_star, v_star = shuffle_softmax_merge(
+            m_loc, s_loc, v_loc, lyr.push_idx, lyr.recv_idx, dst_cap
+        )
+        own = jnp.maximum(lyr.owned_idx, 0)
+        s_own = jnp.maximum(s_star[own], 1e-16)
+        out = v_star[own] / s_own[..., None]           # [O_cap, K, D]
+        out = out * lyr.owned_mask[:, None, None]
+        if is_last:
+            return out.mean(axis=1)
+        return (out.reshape(-1, k * d_out) + p["b"]) * lyr.owned_mask[:, None]
+
+    def forward_local(self, params, layers, x):
+        n = len(layers)
+        for i, lyr in enumerate(layers):
+            x = self.layer(params[f"layer_{i}"], lyr, x, is_last=(i == n - 1))
+            if i != n - 1:
+                x = jax.nn.elu(x)
+        return x
 
 
 def _local_ce(logits, labels):

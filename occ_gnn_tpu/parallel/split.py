@@ -116,6 +116,93 @@ def shuffle_merge(neigh: jax.Array, push_idx, recv_idx, axis_name: str = "p"):
     return neigh.at[flat_idx].add(flat_val, mode="drop")
 
 
+def reverse_shuffle(
+    frame_vals: jax.Array,
+    push_idx,
+    recv_idx,
+    dst_cap: int,
+    axis_name: str = "p",
+):
+    """Owner -> edge-holder shuffle (the reverse direction of shuffle_merge,
+    reusing the same paired index tensors): each owner q sends the rows of
+    its dst frame listed in recv_idx[q, p] to partition p, which writes
+    them at push_idx[p, q] of its own dst frame. Used by distributed GAT to
+    distribute per-dst attention terms to the partitions holding the edges.
+    """
+    valid = (recv_idx < dst_cap)[:, :, None]
+    send = frame_vals[jnp.minimum(recv_idx, dst_cap - 1)]
+    send = send * valid.astype(send.dtype)
+    recv = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )
+    # push padding is -1; remap to an out-of-range sentinel so scatter drops
+    # it instead of wrapping.
+    tgt = jnp.where(push_idx < 0, dst_cap, push_idx).reshape(-1)
+    return frame_vals.at[tgt].set(
+        recv.reshape(-1, frame_vals.shape[-1]), mode="drop"
+    )
+
+
+def shuffle_softmax_merge(
+    m_loc: jax.Array,   # [D_cap, K] local max per dst row
+    s_loc: jax.Array,   # [D_cap, K] local sum exp(score - m_loc)
+    v_loc: jax.Array,   # [D_cap, K, Dh] local sum exp(..) * value
+    push_idx,
+    recv_idx,
+    dst_cap: int,
+    axis_name: str = "p",
+):
+    """One all_to_all of (m, s, v) triples + streaming-softmax merge at the
+    owner: m* = max of partials, partial sums rescaled by exp(m_p - m*).
+    Exact distributed segment-softmax in a single shuffle round.
+    """
+    K = m_loc.shape[-1]
+    Dh = v_loc.shape[-1]
+    payload = jnp.concatenate(
+        [m_loc, s_loc, v_loc.reshape(dst_cap + 0, K * Dh)], axis=-1
+    )  # [D_cap, K*(2+Dh)]
+    valid = (push_idx >= 0)[:, :, None]
+    send = payload[jnp.maximum(push_idx, 0)]
+    # Masked m must not win the scatter-max: push -inf for padding slots.
+    neg_inf = jnp.full_like(send[..., :K], -jnp.inf)
+    send_m = jnp.where(valid, send[..., :K], neg_inf)
+    send_sv = send[..., K:] * valid.astype(send.dtype)
+    recv = jax.lax.all_to_all(
+        jnp.concatenate([send_m, send_sv], -1),
+        axis_name, split_axis=0, concat_axis=0, tiled=True,
+    )  # [P, S_cap, K*(2+Dh)]
+    r_m = recv[..., :K]
+    r_s = recv[..., K : 2 * K]
+    r_v = recv[..., 2 * K :]
+    flat_idx = recv_idx.reshape(-1)
+    # Global max per owned row.
+    m_star = m_loc.at[flat_idx].max(r_m.reshape(-1, K), mode="drop")
+    # Rescale local partials (m_loc may be -inf for rows with no local
+    # edges; m_star may be -inf for rows with no contributions at all).
+    safe_m_star0 = jnp.where(jnp.isfinite(m_star), m_star, 0.0)
+    scale_loc = jnp.where(
+        jnp.isfinite(m_loc), jnp.exp(m_loc - safe_m_star0), 0.0
+    )
+    s_out = s_loc * scale_loc
+    v_out = v_loc * scale_loc[..., None]
+    # Rescale + accumulate received partials (exp(-inf - m*) == 0 for pads;
+    # guard m* == -inf rows, which have no contributions at all).
+    safe_m_star = safe_m_star0
+    r_scale = jnp.exp(
+        jnp.where(jnp.isfinite(r_m), r_m, -jnp.inf)
+        - safe_m_star[jnp.minimum(flat_idx, dst_cap - 1)].reshape(r_m.shape)
+    )
+    r_scale = jnp.where(jnp.isfinite(r_m), r_scale, 0.0)
+    s_out = s_out.at[flat_idx].add(
+        (r_s * r_scale).reshape(-1, K), mode="drop"
+    )
+    v_out = v_out.reshape(dst_cap, K * Dh).at[flat_idx].add(
+        (r_v * jnp.repeat(r_scale, Dh, axis=-1)).reshape(-1, K * Dh),
+        mode="drop",
+    ).reshape(dst_cap, K, Dh)
+    return s_out, v_out
+
+
 def slice_owned(merged: jax.Array, lyr: SplitLayer, x: jax.Array):
     """Select owned rows, finish the mean, and fetch self features.
 

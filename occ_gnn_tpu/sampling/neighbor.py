@@ -52,37 +52,41 @@ def plan_capacities(
 def sample_layer_edges(
     graph: Graph, frontier: np.ndarray, fanout: int, rng: np.random.Generator
 ):
-    """Sample in-edges for each frontier node; returns (dst_local, src_global)
-    including self loops."""
+    """Sample in-edges for each frontier node; returns (dst_local, src_global).
+
+    Edge order is dst-major: for each frontier node, a self-loop edge first
+    (reference appends self loops, sampler.py:202-203), then its sampled
+    neighbors (all of them when degree <= fanout, else ``fanout`` draws with
+    replacement — reference slicer.cpp:6-22). The dst-major order means the
+    per-partition edge streams the slicer emits are already sorted, and the
+    C++ service (csrc/) reproduces the exact same order for parity tests.
+    """
     indptr, indices = graph.indptr, graph.indices
+    n = frontier.shape[0]
     deg = (indptr[frontier + 1] - indptr[frontier]).astype(np.int64)
     offs = indptr[frontier]
-    small = deg <= fanout
-
-    sm = np.nonzero(small)[0]
-    counts = deg[sm]
+    take = np.minimum(deg, fanout)
+    counts = take + 1  # +1 for the self loop
     total = int(counts.sum())
-    if total:
-        e_dst_small = np.repeat(sm, counts)
-        starts = np.cumsum(counts) - counts
-        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
-        e_src_small = indices[np.repeat(offs[sm], counts) + pos]
-    else:
-        e_dst_small = np.empty(0, dtype=np.int64)
-        e_src_small = np.empty(0, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
 
-    lg = np.nonzero(~small)[0]
-    if lg.size:
-        draws = rng.integers(0, deg[lg][:, None], size=(lg.size, fanout))
-        e_src_large = indices[(offs[lg][:, None] + draws).ravel()]
-        e_dst_large = np.repeat(lg, fanout)
-    else:
-        e_dst_large = np.empty(0, dtype=np.int64)
-        e_src_large = np.empty(0, dtype=np.int64)
+    e_dst = np.repeat(np.arange(n, dtype=np.int64), counts)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    e_src = np.empty(total, dtype=np.int64)
+    e_src[starts] = frontier  # self loop at position 0 of each group
 
-    # Self loops (reference appends them for every seed).
-    e_dst = np.concatenate([np.arange(frontier.shape[0]), e_dst_small, e_dst_large])
-    e_src = np.concatenate([frontier, e_src_small, e_src_large])
+    tail = pos > 0
+    node = e_dst[tail]
+    j = pos[tail] - 1
+    small_edge = deg[node] <= fanout
+    # take-all nodes: CSR order
+    e_src_tail = np.empty(node.shape[0], dtype=np.int64)
+    e_src_tail[small_edge] = indices[offs[node[small_edge]] + j[small_edge]]
+    lg = ~small_edge
+    if lg.any():
+        draws = rng.integers(0, deg[node[lg]])
+        e_src_tail[lg] = indices[offs[node[lg]] + draws]
+    e_src[tail] = e_src_tail
     return e_dst, e_src
 
 

@@ -126,12 +126,20 @@ class SplitSampler:
         capacities: dict | None = None,
         seed: int = 0,
         drop_last: bool = False,
+        cache=None,
     ):
+        """``cache`` is an optional SplitFeatureCache (or bare CachePlan):
+        when given, the innermost layer is sliced cache-aware — edges whose
+        src feature is cached on the destination's owner ("natural" edges,
+        reference sampler.py:93-123) execute there with no shuffle, others
+        route to the src owner — and edge_src indexes the cache frame."""
         self.graph = graph
         self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
         self.wmap = np.asarray(partition_map, dtype=np.int64)
         self.P = num_partitions
-        assert self.wmap.max() < num_partitions
+        assert self.wmap.max() < num_partitions, (
+            f"partition map has id {self.wmap.max()} >= {num_partitions}"
+        )
         self.fanouts = list(fanouts)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
@@ -139,6 +147,8 @@ class SplitSampler:
             batch_size, self.fanouts, graph.num_nodes, num_partitions
         )
         self.drop_last = drop_last
+        self.cache = cache
+        self.cache_plan = getattr(cache, "plan", cache)
 
     def __iter__(self):
         order = self.rng.permutation(self.train_nodes.shape[0])
@@ -181,10 +191,15 @@ class SplitSampler:
         L = len(raw)
         caps = self.caps
 
+        # Refresh the cache for this batch BEFORE slicing (the slicer reads
+        # the post-refresh maps — reference order at sampler.py:47-49).
+        if self.cache is not None:
+            self.cache.refresh(raw[-1].frame)
+
         layers = []
         for l in range(L):  # innermost-first output order
             rl = raw[L - 1 - l]
-            layers.append(self._slice_layer(rl, l))
+            layers.append(self._slice_layer(rl, l, use_cache=(l == 0 and self.cache is not None)))
 
         # Layer-0 input frame global ids per partition.
         deepest = raw[-1].frame
@@ -217,7 +232,9 @@ class SplitSampler:
             labels=jnp.asarray(labels),
         )
 
-    def _slice_layer(self, rl: _RawLayer, l: int) -> SplitLayer:
+    def _slice_layer(
+        self, rl: _RawLayer, l: int, use_cache: bool = False
+    ) -> SplitLayer:
         import jax.numpy as jnp
 
         P = self.P
@@ -226,7 +243,6 @@ class SplitSampler:
         D_cap = caps["dst_caps"][l]
         O_cap = caps["out_caps"][l]
         S_cap = caps["shuffle_caps"][l]
-        F_cap = caps["frame_caps"][l]
 
         F_d = rl.frontier
         frame = rl.frame
@@ -238,10 +254,26 @@ class SplitSampler:
         dst_rank, dst_counts = rank_within_owner(dst_owner, P)
 
         src_global = rl.e_src_global
-        src_frame_pos = rl.rank[np.searchsorted(rl.uniq, src_global)]
-        e_route = frame_owner[src_frame_pos]       # partition owning the src
-        e_src_local = frame_rank[src_frame_pos]    # row in owner's src frame
         e_dst_owner = dst_owner[rl.e_dst]
+        if use_cache:
+            # Cache-aware innermost layer: "natural" edges (src cached on
+            # the dst's owner) run on the dst owner shuffle-free; the rest
+            # route to the src's owner, where refresh guarantees presence.
+            plan = self.cache_plan
+            natural = plan.node_mask[src_global, e_dst_owner]
+            e_route = np.where(natural, e_dst_owner, wmap[src_global])
+            e_src_local = plan.global_to_local[src_global, e_route]
+            assert (e_src_local >= 0).all(), "routed src missing from cache"
+            F_cap = plan.frame_cap
+            own_feature_row = lambda nodes_global, p: plan.global_to_local[
+                nodes_global, p
+            ]
+        else:
+            src_frame_pos = rl.rank[np.searchsorted(rl.uniq, src_global)]
+            e_route = frame_owner[src_frame_pos]   # partition owning the src
+            e_src_local = frame_rank[src_frame_pos]  # row in owner's frame
+            F_cap = caps["frame_caps"][l]
+            own_feature_row = None
 
         # Total sampled in-degree per dst (for the exact mean).
         deg = np.bincount(rl.e_dst, minlength=F_d.shape[0]).astype(np.float32)
@@ -314,8 +346,13 @@ class SplitSampler:
             own_nodes = np.nonzero(dst_owner == p)[0]  # F_d rows, order
             owned_idx[p, :n_own] = dst_rank[own_nodes]  # == arange(n_own)
             owned_deg[p, :n_own] = deg[own_nodes]
-            # own feature row in p's src frame: F_d is a prefix of frame.
-            self_idx[p, :n_own] = frame_rank[own_nodes]
+            if use_cache:
+                rows = own_feature_row(F_d[own_nodes], p)
+                assert (rows >= 0).all(), "owned node missing from cache"
+                self_idx[p, :n_own] = rows
+            else:
+                # own feature row in p's src frame: F_d is a prefix of frame.
+                self_idx[p, :n_own] = frame_rank[own_nodes]
             owned_mask[p, :n_own] = True
             num_owned[p] = n_own
 

@@ -1,0 +1,318 @@
+"""Training CLI — the entry point of the framework.
+
+Usage (argument names follow the reference trainer,
+/root/reference/python/train.py:108-140):
+
+    python -m occ_gnn_tpu.train --graph community --mode split \
+        --cache-per 0.25 --fan-out 10,10 --batch-size 256 --num-epochs 3
+
+Modes:
+  split     split-parallel training over the device mesh (the flagship —
+            reference train.py), with a per-partition feature cache when
+            --cache-per is set
+  single    one-chip sampled-minibatch training
+  ddp       data-parallel baseline (reference no_cache_multi_gpu.py)
+  pa-cache  single-chip + PaGraph-style static cache with hit-rate logging
+            (reference pa_cache_multi_gpu.py)
+
+Graphs: a name under --data-root (binary format, see occ_gnn_tpu.data) or
+the built-in synthetics ``community`` / ``random``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("occ_gnn_tpu trainer")
+    p.add_argument("--graph", type=str, required=True)
+    p.add_argument("--data-root", type=str, default="./data")
+    p.add_argument("--mode", type=str, default="split",
+                   choices=["split", "single", "ddp", "pa-cache"])
+    p.add_argument("--model-name", type=str, default="sage",
+                   choices=["sage", "gcn", "gat"])
+    p.add_argument("--cache-per", type=float, default=0.0)
+    p.add_argument("--fan-out", type=str, default="10,10,25")
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--num-hidden", type=int, default=256)
+    p.add_argument("--num-epochs", type=int, default=2)
+    p.add_argument("--num-heads", type=int, default=4)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--partitions", type=int, default=0,
+                   help="mesh size for split/ddp; 0 = all devices")
+    p.add_argument("--partition-mode", type=str, default="greedy",
+                   choices=["greedy", "metis", "random", "round_robin"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-nodes", type=int, default=10000,
+                   help="synthetic graph size")
+    p.add_argument("--avg-degree", type=int, default=10)
+    p.add_argument("--feature-dim", type=int, default=128)
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU backend (virtual 8-device mesh)")
+    p.add_argument("--json", action="store_true",
+                   help="emit one JSON line of final metrics")
+    return p
+
+
+def resolve_graph(args):
+    from occ_gnn_tpu.data import block_graph, load_graph, random_graph
+
+    if args.graph == "community":
+        return block_graph(num_nodes=args.num_nodes, num_blocks=8,
+                           avg_degree=args.avg_degree,
+                           feature_dim=args.feature_dim, seed=args.seed)
+    if args.graph == "random":
+        return random_graph(num_nodes=args.num_nodes,
+                            avg_degree=args.avg_degree,
+                            feature_dim=args.feature_dim, seed=args.seed)
+    return load_graph(args.data_root, args.graph)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.cpu:
+        import os
+
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from occ_gnn_tpu.utils import PhaseTimers
+
+    fanouts = [int(f) for f in args.fan_out.split(",")]
+    g = resolve_graph(args)
+    print(f"graph: {g.num_nodes} nodes, {g.num_edges} edges, "
+          f"feat {g.feature_dim}, {g.num_classes} classes")
+    timers = PhaseTimers()
+    metrics = {}
+
+    if args.mode == "split":
+        metrics = train_split(args, g, fanouts, timers)
+    elif args.mode == "ddp":
+        metrics = train_ddp(args, g, fanouts, timers)
+    else:
+        metrics = train_single(args, g, fanouts, timers,
+                               use_cache=(args.mode == "pa-cache"))
+    if args.json:
+        print(json.dumps(metrics))
+    return metrics
+
+
+def _make_model(args, g, split: bool):
+    if split:
+        from occ_gnn_tpu.parallel.model import SplitGAT, SplitGCN, SplitSAGE
+
+        cls = {"sage": SplitSAGE, "gcn": SplitGCN, "gat": SplitGAT}[
+            args.model_name
+        ]
+        if args.model_name == "gat":
+            return cls(g.feature_dim, args.num_hidden, g.num_classes,
+                       len(args.fan_out.split(",")),
+                       num_heads=args.num_heads)
+        return cls(g.feature_dim, args.num_hidden, g.num_classes,
+                   len(args.fan_out.split(",")))
+    from occ_gnn_tpu.models import get_model
+
+    kw = dict(dropout=args.dropout)
+    if args.model_name == "gat":
+        kw["num_heads"] = args.num_heads
+    return get_model(args.model_name, g.feature_dim, args.num_hidden,
+                     g.num_classes, len(args.fan_out.split(",")), **kw)
+
+
+def train_split(args, g, fanouts, timers):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from occ_gnn_tpu.cache import CachePlan, SplitFeatureCache
+    from occ_gnn_tpu.data import partition_graph
+    from occ_gnn_tpu.parallel.model import make_split_train_step
+    from occ_gnn_tpu.parallel.split import make_mesh
+    from occ_gnn_tpu.sampling.slicer import SplitSampler
+    from occ_gnn_tpu.training import gather_features
+
+    P = args.partitions or len(jax.devices())
+    with timers.phase("partition"):
+        if g.partition_map is not None and g.partition_map.max() == P - 1:
+            pmap = g.partition_map
+        else:
+            pmap = partition_graph(g, P, mode=args.partition_mode)
+    mesh = make_mesh(P)
+
+    sampler_kw = {}
+    cache = None
+    from occ_gnn_tpu.sampling.slicer import plan_split_capacities
+
+    caps = plan_split_capacities(args.batch_size, fanouts, g.num_nodes, P)
+    if args.cache_per > 0:
+        plan = CachePlan(g, pmap, P, args.cache_per,
+                         refresh_cap=caps["frame_caps"][0])
+        cache = SplitFeatureCache(plan)
+        sampler_kw["cache"] = cache
+    sampler = SplitSampler(g, g.train_nodes(), pmap, P, fanouts,
+                           args.batch_size, capacities=caps,
+                           seed=args.seed, **sampler_kw)
+
+    model = _make_model(args, g, split=True)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+    step = make_split_train_step(model, opt, mesh)
+
+    acc = loss_v = 0.0
+    for epoch in range(args.num_epochs):
+        t0 = time.perf_counter()
+        correct = total = 0
+        for batch in sampler:
+            if cache is not None:
+                xs = cache.frames
+            else:
+                with timers.phase("feature_gather"):
+                    xs = jnp.stack([
+                        gather_features(g.features, batch.input_nodes[p])
+                        for p in range(P)
+                    ])
+            with timers.phase("train_step"):
+                params, opt_state, loss, c, t = step(
+                    params, opt_state, batch, xs
+                )
+                loss = jax.block_until_ready(loss)
+            correct += int(c)
+            total += int(t)
+        acc = correct / max(total, 1)
+        loss_v = float(loss)
+        dt = time.perf_counter() - t0
+        print(f"epoch {epoch}: loss={loss_v:.4f} acc={acc:.4f} "
+              f"time={dt:.2f}s [{timers.summary()}]")
+        timers.clear()
+    return {"mode": "split", "acc": acc, "loss": loss_v, "partitions": P}
+
+
+def train_ddp(args, g, fanouts, timers):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from occ_gnn_tpu.parallel.dp import make_dp_train_step, stack_batches
+    from occ_gnn_tpu.parallel.split import make_mesh
+    from occ_gnn_tpu.sampling.neighbor import NeighborSampler, plan_capacities
+    from occ_gnn_tpu.training import gather_features
+
+    P = args.partitions or len(jax.devices())
+    mesh = make_mesh(P)
+    model = _make_model(args, g, split=False)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+    step = make_dp_train_step(model, opt, mesh)
+
+    nodes = g.train_nodes()
+    per_dev = args.batch_size // P
+    caps = plan_capacities(per_dev, fanouts, g.num_nodes)
+    shards = np.array_split(np.random.default_rng(args.seed).permutation(nodes), P)
+    samplers = [
+        NeighborSampler(g, shards[p], fanouts, per_dev, capacities=caps,
+                        seed=args.seed + p, drop_last=True)
+        for p in range(P)
+    ]
+    acc = loss_v = 0.0
+    for epoch in range(args.num_epochs):
+        t0 = time.perf_counter()
+        correct = total = 0
+        iters = [iter(s) for s in samplers]
+        steps = min(len(s) for s in samplers)
+        for _ in range(steps):
+            with timers.phase("sample"):
+                batches = [next(it) for it in iters]
+                stacked = stack_batches(batches)
+            with timers.phase("feature_gather"):
+                x0 = jnp.stack([
+                    gather_features(g.features, b.input_nodes)
+                    for b in batches
+                ])
+            with timers.phase("train_step"):
+                params, opt_state, loss, c, t = step(
+                    params, opt_state, stacked, x0
+                )
+                loss = jax.block_until_ready(loss)
+            correct += int(c)
+            total += int(t)
+        acc = correct / max(total, 1)
+        loss_v = float(loss)
+        dt = time.perf_counter() - t0
+        print(f"epoch {epoch}: loss={loss_v:.4f} acc={acc:.4f} "
+              f"time={dt:.2f}s [{timers.summary()}]")
+        timers.clear()
+    return {"mode": "ddp", "acc": acc, "loss": loss_v, "partitions": P}
+
+
+def train_single(args, g, fanouts, timers, use_cache: bool):
+    import jax
+    import optax
+
+    from occ_gnn_tpu.cache import SingleChipCache
+    from occ_gnn_tpu.sampling.neighbor import NeighborSampler
+    from occ_gnn_tpu.training import (
+        gather_features,
+        make_train_step,
+    )
+
+    model = _make_model(args, g, split=False)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+    step = make_train_step(model, opt)
+    sampler = NeighborSampler(g, g.train_nodes(), fanouts, args.batch_size,
+                              seed=args.seed)
+    cache = None
+    if use_cache:
+        pct = args.cache_per if args.cache_per > 0 else 0.25
+        cache = SingleChipCache(g, pct, sampler.caps["frame_caps"][0])
+    rng = jax.random.PRNGKey(args.seed)
+    acc = loss_v = 0.0
+    for epoch in range(args.num_epochs):
+        t0 = time.perf_counter()
+        correct = total = 0
+        for batch in sampler:
+            with timers.phase("feature_load"):
+                if cache is not None:
+                    x0 = cache.load_input_frame(np.asarray(batch.input_nodes))
+                else:
+                    x0 = gather_features(g.features, batch.input_nodes)
+            rng, sub = jax.random.split(rng)
+            with timers.phase("train_step"):
+                params, opt_state, loss, c, t = step(
+                    params, opt_state, batch, x0, sub
+                )
+                loss = jax.block_until_ready(loss)
+            correct += int(c)
+            total += int(t)
+        acc = correct / max(total, 1)
+        loss_v = float(loss)
+        dt = time.perf_counter() - t0
+        hit = f" hit_rate={cache.hit_rate:.3f}" if cache else ""
+        print(f"epoch {epoch}: loss={loss_v:.4f} acc={acc:.4f} "
+              f"time={dt:.2f}s{hit} [{timers.summary()}]")
+        timers.clear()
+    out = {"mode": "pa-cache" if use_cache else "single", "acc": acc,
+           "loss": loss_v}
+    if cache:
+        out["hit_rate"] = cache.hit_rate
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -26,14 +26,14 @@ def test_sample_layer_edges_structure(small_graph):
     fanout = 5
     e_dst, e_src = sample_layer_edges(small_graph, frontier, fanout, rng)
     n = frontier.shape[0]
-    # Self loops present for every frontier node.
-    np.testing.assert_array_equal(e_dst[:n], np.arange(n))
-    np.testing.assert_array_equal(e_src[:n], frontier)
-    # Per-dst edge counts: deg+1 when deg<=fanout else fanout+1.
+    # dst-major order with the self loop leading each group.
+    assert (np.diff(e_dst) >= 0).all()
     deg = small_graph.in_degrees()[frontier]
     expect = np.minimum(deg, fanout) + 1
     counts = np.bincount(e_dst, minlength=n)
     np.testing.assert_array_equal(counts, expect)
+    starts = np.cumsum(counts) - counts
+    np.testing.assert_array_equal(e_src[starts], frontier)
     # Every sampled src is a real in-neighbor of its dst.
     g = small_graph
     for i in rng.choice(e_dst.shape[0], 50):

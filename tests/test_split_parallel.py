@@ -227,3 +227,33 @@ def test_split_gcn_runs(sliced):
     xs = _gather_split_features(g, split_batch)
     logits = np.asarray(fwd(params, split_batch, xs))
     assert np.isfinite(logits).all()
+
+
+def test_split_gat_matches_single_chip(sliced):
+    """Distributed GAT (2-shuffle streaming softmax) == single-chip GAT."""
+    from occ_gnn_tpu.models import GATModel
+    from occ_gnn_tpu.parallel.model import SplitGAT
+
+    g, pmap, sampler, raw, split_batch, single_batch = sliced
+    mesh = make_mesh(P)
+    K, H = 2, 6
+    model_s = GATModel(g.feature_dim, H, g.num_classes, 2, num_heads=K)
+    model_d = SplitGAT(g.feature_dim, H, g.num_classes, 2, num_heads=K)
+    params = model_s.init(jax.random.PRNGKey(11))
+
+    x0 = gather_features(g.features, single_batch.input_nodes)
+    logits_single = np.asarray(model_s.apply(params, single_batch, x0))
+
+    fwd = make_split_forward(model_d, mesh)
+    xs = _gather_split_features(g, split_batch)
+    logits_split = np.asarray(fwd(params, split_batch, xs))
+
+    targets = raw[0].frontier
+    for p in range(P):
+        rows = np.nonzero(pmap[targets] == p)[0]
+        np.testing.assert_allclose(
+            logits_split[p, : rows.shape[0]],
+            logits_single[rows],
+            rtol=1e-4,
+            atol=1e-4,
+        )
