@@ -1,19 +1,25 @@
-"""Headline benchmark: single-chip GraphSAGE training-step throughput.
+"""Headline benchmark: full split-parallel training pipeline on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: edges/s/chip through the full jit'd training step (forward SpMM
-stack + backward + adam) on a products-like synthetic graph, 3-layer
-GraphSAGE fanout [10,10,25], batch 1024, hidden 128 — the reference's
-flagship config (train.py defaults: fan-out '10,10,25', batch 1032,
-exp6 h=128).
+What runs: the flagship path end-to-end — C++ sampling+slicing service
+(pipelined worker threads), per-partition feature cache with dynamic
+refresh, and the jit'd split-parallel training step (forward SpMM stack +
+backward + adam) — on a products-like synthetic graph, 3-layer GraphSAGE,
+fanout [10,10,25], batch 1024, hidden 128 (the reference's flagship
+config: train.py defaults fan-out '10,10,25', batch 1032; exp6 h=128).
+Capacities are measured (measure_split_capacities), matching how a
+production config would be tuned.
 
-Baseline: the reference's OCC split-parallel epoch on ogbn-products
-processes ~637M sampled edges (190 batches x ~3.35M edges) in
-fwd 6.997s + move 11.58s + slice 141.8s on 4x M40
-(/root/reference/experiments/exp6/exp6.txt:23, BASELINE.md) —
-compute+move only (the part our jit step covers): 637M / 18.6s / 4 GPUs
-= 8.6M edges/s/GPU. vs_baseline = ours / 8.6M.
+Metric: end-to-end edges/s/chip = total sampled edges processed per
+wall-clock second, sampling + slicing + cache refresh + train step
+included.
+
+Baseline: the reference's OCC split-parallel epoch on ogbn-products:
+~637M sampled edges (190 batches x ~3.35M) in fwd 6.997 + move 11.58 +
+slice 141.8 = 160.4s on 4x M40 GPUs
+(/root/reference/experiments/exp6/exp6.txt:23, BASELINE.md) = 0.99M
+edges/s/GPU full-pipeline. vs_baseline = ours / 0.99M.
 """
 
 from __future__ import annotations
@@ -23,62 +29,86 @@ import time
 
 import numpy as np
 
-BASELINE_EDGES_PER_S_PER_GPU = 8.6e6
+BASELINE_EDGES_PER_S_PER_GPU = 0.99e6
 
 
 def main():
     import jax
-
-    from occ_gnn_tpu.data import random_graph
-    from occ_gnn_tpu.models import SAGEModel
-    from occ_gnn_tpu.sampling.neighbor import NeighborSampler
-    from occ_gnn_tpu.training import gather_features, make_train_step
+    import jax.numpy as jnp
     import optax
 
-    # Products-like synthetic: sampling cost scales with batch, not |V|;
-    # kept modest so host-side sampling isn't the bottleneck of the bench.
+    from occ_gnn_tpu.cache import CachePlan, SplitFeatureCache
+    from occ_gnn_tpu.data import random_graph
+    from occ_gnn_tpu.parallel.model import SplitSAGE, make_split_train_step
+    from occ_gnn_tpu.parallel.split import make_mesh
+    from occ_gnn_tpu.sampling.native import NativeSplitSampler
+    from occ_gnn_tpu.sampling.slicer import (
+        measure_split_capacities,
+        plan_split_capacities,
+    )
+
+    P = 1  # bench hardware is one chip; the mesh path is identical
     g = random_graph(
         num_nodes=200_000, avg_degree=15, feature_dim=100, num_classes=47,
         seed=0,
     )
+    pmap = np.zeros(g.num_nodes, dtype=np.int32)
     fanouts = [10, 10, 25]
     batch_size = 1024
-    model = SAGEModel(g.feature_dim, 128, g.num_classes, 3)
+    cache_pct = 0.25
+
+    caps = measure_split_capacities(
+        g, g.train_nodes(), pmap, P, fanouts, batch_size, num_batches=3,
+        margin=1.5, seed=1,
+    )
+    plan = CachePlan(g, pmap, P, cache_pct,
+                     refresh_cap=max(caps.pop("refresh_cap", 0),
+                                     caps["frame_caps"][0]))
+    cache = SplitFeatureCache(plan)
+    sampler = NativeSplitSampler(
+        g, g.train_nodes(), pmap, P, fanouts, batch_size,
+        capacities=caps, seed=0, cache=cache, num_workers=2, drop_last=True,
+    )
+
+    mesh = make_mesh(P)
+    model = SplitSAGE(g.feature_dim, 128, g.num_classes, 3)
     params = model.init(jax.random.PRNGKey(0))
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
-    step = make_train_step(model, opt)
+    step = make_split_train_step(model, opt, mesh)
 
-    sampler = NeighborSampler(g, g.train_nodes(), fanouts, batch_size,
-                              seed=0, drop_last=True)
+    # Warmup + edge counting on a few batches.
     it = iter(sampler)
-    batches = [next(it) for _ in range(4)]
-    feats = [gather_features(g.features, b.input_nodes) for b in batches]
-    edges_per_batch = [
-        sum(int(blk.num_edges) for blk in b.blocks) for b in batches
-    ]
-    rng = jax.random.PRNGKey(0)
-
-    # Warmup/compile.
-    params, opt_state, loss, _, _ = step(params, opt_state, batches[0],
-                                         feats[0], rng)
-    jax.block_until_ready(loss)
-
-    iters = 20
-    t0 = time.perf_counter()
-    edges = 0
-    for i in range(iters):
-        k = i % len(batches)
+    edges_per_batch = []
+    for _ in range(3):
+        batch = next(it)
+        edges_per_batch.append(sum(
+            int((np.asarray(l.edge_dst) < l.dst_cap).sum())
+            for l in batch.layers
+        ))
         params, opt_state, loss, _, _ = step(
-            params, opt_state, batches[k], feats[k], rng
+            params, opt_state, batch, cache.frames
         )
-        edges += edges_per_batch[k]
+    jax.block_until_ready(loss)
+    avg_edges = float(np.mean(edges_per_batch))
+
+    # Timed run over the rest of the epoch (pipelined).
+    iters = 0
+    t0 = time.perf_counter()
+    for batch in it:
+        params, opt_state, loss, _, _ = step(
+            params, opt_state, batch, cache.frames
+        )
+        iters += 1
+        if iters >= 40:
+            break
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+    sampler.close()
 
-    eps = edges / dt
+    eps = avg_edges * iters / dt
     print(json.dumps({
-        "metric": "sage_train_step_edges_per_s_per_chip",
+        "metric": "split_pipeline_edges_per_s_per_chip",
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_S_PER_GPU, 3),

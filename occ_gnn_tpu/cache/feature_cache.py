@@ -75,6 +75,11 @@ class CachePlan:
         self._dynamic: list[np.ndarray] = [
             np.empty(0, dtype=np.int64) for _ in range(num_partitions)
         ]
+        # Static-only snapshots for the C++ service: workers read these
+        # immutable maps and assign dynamic-tail ids per sample, so no
+        # shared cache state is ever mutated concurrently.
+        self.static_node_mask = self.node_mask.copy()
+        self.static_global_to_local = self.global_to_local.astype(np.int32)
 
     def static_features(self) -> np.ndarray:
         """[P, frame_cap, H] initial frames (tail zeroed)."""
@@ -154,6 +159,38 @@ class SplitFeatureCache:
         if self._sharding is not None:
             tail = jax.device_put(tail, self._sharding)
         self.frames = self._update(self.frames, tail)
+
+    def apply_tail(self, refresh_nodes: np.ndarray) -> None:
+        """Write the dynamic tail for a sample produced by the C++ service:
+        ``refresh_nodes[p, c]`` (global id, -1 pad) gets frame row
+        ``tail_start + c``. Functional update — in-flight steps keep their
+        own frames version, so the pipelined workers can run ahead."""
+        import jax
+        import jax.numpy as jnp
+
+        plan = self.plan
+        if not plan.needs_refresh:
+            return
+        H = plan.graph.feature_dim
+        P = plan.P
+        tail = np.zeros((P, plan.refresh_cap, H), dtype=np.float32)
+        for p in range(P):
+            rows = refresh_nodes[p]
+            k = int((rows >= 0).sum())
+            if k:
+                tail[p, :k] = plan.graph.features[rows[:k]]
+        if self._update is None:
+            ts = plan.tail_start
+
+            @jax.jit
+            def update(frames, tail):
+                return frames.at[:, ts:, :].set(tail)
+
+            self._update = update
+        t = jnp.asarray(tail)
+        if self._sharding is not None:
+            t = jax.device_put(t, self._sharding)
+        self.frames = self._update(self.frames, t)
 
 
 class SingleChipCache:

@@ -1,0 +1,610 @@
+// occ_sampler — multithreaded host-side neighbor sampling + split slicing
+// service for the TPU training loop.
+//
+// TPU-native re-design of the reference's C++ slicer stack
+// (/root/reference/cslicer/: pyfrontend.cpp CSlicer service, WorkerPool.cpp
+// producer/consumer, slicer.cpp fused sample+slice, bipartite.h append-CSR
+// builder, util/duplicate.cpp mask-based dedup, util/conqueue.h bounded
+// queue). Differences driven by the TPU consumer:
+//   * emits fixed-capacity PADDED arrays (edge COO sorted by local dst,
+//     paired push/recv shuffle indices, owned sets, degree totals) —
+//     device-ready for jax, instead of ragged per-GPU CSR objects;
+//   * fanouts / layer count / partition count are configuration, not
+//     hard-coded constants (reference hard-codes 4 GPUs / 3 layers /
+//     fanout 10, slicer.h:16, slicer.cpp:10,75);
+//   * cache-aware innermost-layer routing (natural edges) is built in,
+//     with per-sample dynamic-tail assignment so worker threads share no
+//     mutable cache state (the reference mutates global maps per batch,
+//     memory_manager.py:75-106, which would race under its own WorkerPool);
+//   * dedup keeps the reference's O(1) mask-array renumbering trick
+//     (duplicate.cpp:14-39) — it is the right tool on the host.
+//
+// Exposed to Python via a C ABI (ctypes) — see sampling/native.py.
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int MAX_LAYERS = 8;
+
+struct Config {
+  int64_t num_nodes = 0;
+  const int64_t* indptr = nullptr;
+  const int64_t* indices = nullptr;
+  const int32_t* wmap = nullptr;
+  int32_t P = 0;
+  int32_t L = 0;
+  int32_t fanouts[MAX_LAYERS] = {0};  // sampling order (targets outward)
+  // capacities, innermost-first (python caps dict order)
+  int64_t frame_caps[MAX_LAYERS + 1] = {0};
+  int64_t edge_caps[MAX_LAYERS] = {0};
+  int64_t dst_caps[MAX_LAYERS] = {0};
+  int64_t out_caps[MAX_LAYERS] = {0};
+  int64_t shuffle_caps[MAX_LAYERS] = {0};
+  // optional cache
+  const uint8_t* static_mask = nullptr;  // [N, P] row-major
+  const int32_t* static_g2l = nullptr;   // [N, P]
+  int64_t tail_start = 0;
+  int64_t refresh_cap = 0;
+  int64_t cache_frame_cap = 0;
+};
+
+struct Edge {
+  int32_t dst_row;   // row in the layer's frontier
+  int32_t src_pos;   // row in the layer's frame (dst-first dedup order)
+};
+
+struct LayerSample {
+  std::vector<Edge> edges;
+  std::vector<int32_t> counts;       // per frontier row, incl self loop
+  std::vector<int64_t> frame;        // deduped frontier of the next layer
+  std::vector<int32_t> frame_owner;  // wmap[frame]
+  std::vector<int32_t> frame_rank;   // rank within owner
+};
+
+// One fully sliced sample, innermost-first layers, flat padded arrays.
+struct Sample {
+  struct Layer {
+    std::vector<int32_t> edge_src, edge_dst;    // [P * E_cap]
+    std::vector<int32_t> push, recv;            // [P * P * S_cap]
+    std::vector<int32_t> owned_idx, self_idx;   // [P * O_cap]
+    std::vector<float> owned_deg;               // [P * O_cap]
+    std::vector<uint8_t> owned_mask;            // [P * O_cap]
+    std::vector<int32_t> num_owned;             // [P]
+  };
+  std::vector<Layer> layers;
+  std::vector<int32_t> input_nodes;    // [P * F0_cap], pad -1
+  std::vector<int32_t> targets;        // [P * T_cap], pad -1
+  std::vector<int32_t> refresh_nodes;  // [P * refresh_cap], pad -1
+  int32_t error = 0;  // 0 ok; >0 capacity overflow code
+};
+
+template <typename T>
+class BoundedQueue {
+ public:
+  explicit BoundedQueue(size_t cap) : cap_(cap) {}
+  void push(T v) {
+    std::unique_lock<std::mutex> lk(mu_);
+    not_full_.wait(lk, [&] { return q_.size() < cap_ || closed_; });
+    if (closed_) return;
+    q_.push(std::move(v));
+    not_empty_.notify_one();
+  }
+  bool pop(T* out) {
+    std::unique_lock<std::mutex> lk(mu_);
+    not_empty_.wait(lk, [&] { return !q_.empty() || closed_; });
+    if (q_.empty()) return false;
+    *out = std::move(q_.front());
+    q_.pop();
+    not_full_.notify_one();
+    return true;
+  }
+  void close() {
+    std::lock_guard<std::mutex> lk(mu_);
+    closed_ = true;
+    not_empty_.notify_all();
+    not_full_.notify_all();
+  }
+
+ private:
+  size_t cap_;
+  std::queue<T> q_;
+  std::mutex mu_;
+  std::condition_variable not_empty_, not_full_;
+  bool closed_ = false;
+};
+
+struct XorShift {
+  uint64_t s;
+  explicit XorShift(uint64_t seed) : s(seed ? seed : 0x9e3779b97f4a7c15ULL) {}
+  inline uint64_t next() {
+    s ^= s << 13;
+    s ^= s >> 7;
+    s ^= s << 17;
+    return s;
+  }
+};
+
+class Worker {
+ public:
+  Worker(const Config& cfg, uint64_t seed) : cfg_(cfg), rng_(seed) {
+    mask_.assign(cfg.num_nodes, 0);
+    dst_rank0_.clear();
+    foreign_mask_.assign(cfg.P, {});
+    int64_t max_frontier = 0;
+    for (int l = 0; l <= cfg.L; l++)
+      max_frontier = std::max(max_frontier, cfg.frame_caps[l] * cfg.P + 8);
+    for (int p = 0; p < cfg.P; p++) foreign_mask_[p].assign(max_frontier, 0);
+    if (cfg.static_g2l) tail_id_.assign(cfg.num_nodes, -1);
+    layers_.resize(cfg.L);
+  }
+
+  // Sample + slice one batch into `out`. Returns false on overflow (error
+  // code is set in out->error).
+  bool process(const std::vector<int64_t>& batch, Sample* out);
+
+ private:
+  void sample_raw(const std::vector<int64_t>& batch);
+  bool slice_layer(int l, Sample* out);
+
+  const Config& cfg_;
+  XorShift rng_;
+  std::vector<int32_t> mask_;  // global-id scratch (dedup / tail)
+  std::vector<int64_t> frontier0_;
+  std::vector<int32_t> f0_owner_, f0_rank_;
+  std::vector<int32_t> dst_rank0_;
+  std::vector<LayerSample> layers_;
+  std::vector<std::vector<int32_t>> foreign_mask_;  // per partition
+  std::vector<int32_t> tail_id_;                    // per-sample tail assign
+  std::vector<int64_t> tail_nodes_scratch_;
+};
+
+void Worker::sample_raw(const std::vector<int64_t>& batch) {
+  // Initial frontier: sorted unique batch (numpy np.unique semantics).
+  frontier0_ = batch;
+  std::sort(frontier0_.begin(), frontier0_.end());
+  frontier0_.erase(std::unique(frontier0_.begin(), frontier0_.end()),
+                   frontier0_.end());
+  f0_owner_.resize(frontier0_.size());
+  f0_rank_.resize(frontier0_.size());
+  {
+    std::vector<int32_t> cnt(cfg_.P, 0);
+    for (size_t i = 0; i < frontier0_.size(); i++) {
+      int32_t p = cfg_.wmap[frontier0_[i]];
+      f0_owner_[i] = p;
+      f0_rank_[i] = cnt[p]++;
+    }
+  }
+
+  const int64_t* frontier = frontier0_.data();
+  int64_t n = (int64_t)frontier0_.size();
+  for (int d = 0; d < cfg_.L; d++) {
+    LayerSample& ls = layers_[d];
+    ls.edges.clear();
+    ls.counts.assign(n, 0);
+    ls.frame.clear();
+    ls.frame_owner.clear();
+    ls.frame_rank.clear();
+    // Frame prefix: the frontier itself (dst-first ordering).
+    std::vector<int32_t> owner_cnt(cfg_.P, 0);
+    for (int64_t i = 0; i < n; i++) {
+      int64_t v = frontier[i];
+      ls.frame.push_back(v);
+      mask_[v] = (int32_t)ls.frame.size();  // pos + 1
+      int32_t p = cfg_.wmap[v];
+      ls.frame_owner.push_back(p);
+      ls.frame_rank.push_back(owner_cnt[p]++);
+    }
+    int fanout = cfg_.fanouts[d];
+    for (int64_t i = 0; i < n; i++) {
+      int64_t v = frontier[i];
+      // self loop first (mask already set: src_pos = i)
+      ls.edges.push_back({(int32_t)i, (int32_t)i});
+      int32_t c = 1;
+      int64_t deg = cfg_.indptr[v + 1] - cfg_.indptr[v];
+      int64_t off = cfg_.indptr[v];
+      int64_t take = deg <= fanout ? deg : fanout;
+      for (int64_t j = 0; j < take; j++) {
+        int64_t u = (deg <= fanout)
+                        ? cfg_.indices[off + j]
+                        : cfg_.indices[off + (int64_t)(rng_.next() % deg)];
+        int32_t pos = mask_[u];
+        if (pos == 0) {
+          ls.frame.push_back(u);
+          pos = (int32_t)ls.frame.size();
+          mask_[u] = pos;
+          int32_t p = cfg_.wmap[u];
+          ls.frame_owner.push_back(p);
+          ls.frame_rank.push_back(owner_cnt[p]++);
+        }
+        ls.edges.push_back({(int32_t)i, pos - 1});
+        c++;
+      }
+      ls.counts[i] = c;
+    }
+    for (int64_t v : ls.frame) mask_[v] = 0;
+    frontier = ls.frame.data();
+    n = (int64_t)ls.frame.size();
+  }
+}
+
+bool Worker::slice_layer(int l, Sample* out) {
+  const int P = cfg_.P;
+  int d = cfg_.L - 1 - l;  // sampled depth consumed by model layer l
+  const LayerSample& ls = layers_[d];
+  // Frontier of depth d == frame of depth d-1 (or the initial frontier).
+  const int64_t* frontier =
+      d == 0 ? frontier0_.data() : layers_[d - 1].frame.data();
+  const int32_t* dst_owner =
+      d == 0 ? f0_owner_.data() : layers_[d - 1].frame_owner.data();
+  const int32_t* dst_rank =
+      d == 0 ? f0_rank_.data() : layers_[d - 1].frame_rank.data();
+  int64_t n = d == 0 ? (int64_t)frontier0_.size()
+                     : (int64_t)layers_[d - 1].frame.size();
+
+  const int64_t E_cap = cfg_.edge_caps[l];
+  const int64_t D_cap = cfg_.dst_caps[l];
+  const int64_t O_cap = cfg_.out_caps[l];
+  const int64_t S_cap = cfg_.shuffle_caps[l];
+  const bool use_cache = (l == 0) && cfg_.static_g2l != nullptr;
+
+  Sample::Layer& L = out->layers[l];
+  L.edge_src.assign((size_t)P * E_cap, 0);
+  L.edge_dst.assign((size_t)P * E_cap, (int32_t)D_cap);
+  L.push.assign((size_t)P * P * S_cap, -1);
+  L.recv.assign((size_t)P * P * S_cap, (int32_t)D_cap);
+  L.owned_idx.assign((size_t)P * O_cap, -1);
+  L.self_idx.assign((size_t)P * O_cap, 0);
+  L.owned_deg.assign((size_t)P * O_cap, 1.0f);
+  L.owned_mask.assign((size_t)P * O_cap, 0);
+  L.num_owned.assign(P, 0);
+
+  std::vector<int32_t> n_own(P, 0);
+  for (int64_t i = 0; i < n; i++) n_own[dst_owner[i]]++;
+  for (int p = 0; p < P; p++) {
+    if (n_own[p] > O_cap) {
+      out->error = 1;  // owned overflow
+      return false;
+    }
+  }
+
+  // Per-partition edge buckets (owned-dst then foreign-dst keeps local dst
+  // ids sorted — both subsequences are ascending in frontier row).
+  std::vector<std::vector<Edge>> own_e(P), for_e(P);
+  std::vector<std::vector<int32_t>> foreign_rows(P);  // frontier rows
+  auto cache_local = [&](int64_t u, int p) -> int32_t {
+    int32_t g = cfg_.static_g2l[u * P + p];
+    if (g >= 0) return g;
+    return tail_id_[u];  // assigned in the deepest-frame pre-pass
+  };
+  for (const Edge& e : ls.edges) {
+    int64_t i = e.dst_row;
+    int64_t u_global = ls.frame[e.src_pos];
+    int p;
+    int32_t src_local;
+    if (use_cache) {
+      int q = dst_owner[i];
+      bool natural = cfg_.static_mask[u_global * P + q];
+      p = natural ? q : cfg_.wmap[u_global];
+      src_local = cache_local(u_global, p);
+      if (src_local < 0) {
+        out->error = 5;  // routed src missing from cache
+        return false;
+      }
+    } else {
+      p = ls.frame_owner[e.src_pos];
+      src_local = ls.frame_rank[e.src_pos];
+    }
+    if (dst_owner[i] == p) {
+      own_e[p].push_back({dst_rank[i], src_local});
+    } else {
+      int32_t& fm = foreign_mask_[p][i];
+      if (fm == 0) {
+        foreign_rows[p].push_back((int32_t)i);
+        fm = (int32_t)foreign_rows[p].size();  // k + 1
+      }
+      for_e[p].push_back({(int32_t)(n_own[p] + fm - 1), src_local});
+    }
+  }
+  for (int p = 0; p < P; p++) {
+    for (int32_t i : foreign_rows[p]) foreign_mask_[p][i] = 0;
+  }
+
+  for (int p = 0; p < P; p++) {
+    int64_t ne = (int64_t)own_e[p].size() + (int64_t)for_e[p].size();
+    if (ne > E_cap) {
+      out->error = 2;  // edge overflow
+      return false;
+    }
+    if (n_own[p] + (int64_t)foreign_rows[p].size() > D_cap) {
+      out->error = 3;  // dst frame overflow
+      return false;
+    }
+    int32_t* es = L.edge_src.data() + (size_t)p * E_cap;
+    int32_t* ed = L.edge_dst.data() + (size_t)p * E_cap;
+    int64_t k = 0;
+    for (const Edge& e : own_e[p]) {
+      ed[k] = e.dst_row;  // here dst_row holds the LOCAL dst id
+      es[k] = e.src_pos;  // and src_pos the LOCAL src id
+      k++;
+    }
+    for (const Edge& e : for_e[p]) {
+      ed[k] = e.dst_row;
+      es[k] = e.src_pos;
+      k++;
+    }
+    // Edges within own_e are in frontier-row order; local owned ids are the
+    // rank within owner, also ascending. But interleaved partitions mean
+    // own_e isn't globally sorted by local id when... it is: dst_rank is
+    // monotone over the frontier rows of owner p. Same for foreign ranks.
+    // However own edges with the same dst are contiguous. A stable sort
+    // guard (cheap: check + sort if needed) protects the invariant:
+    if (!std::is_sorted(ed, ed + k)) {
+      std::vector<int64_t> order(k);
+      for (int64_t t = 0; t < k; t++) order[t] = t;
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int64_t a, int64_t b) { return ed[a] < ed[b]; });
+      std::vector<int32_t> es2(k), ed2(k);
+      for (int64_t t = 0; t < k; t++) {
+        es2[t] = es[order[t]];
+        ed2[t] = ed[order[t]];
+      }
+      std::copy(es2.begin(), es2.end(), es);
+      std::copy(ed2.begin(), ed2.end(), ed);
+    }
+
+    // Shuffle bookkeeping.
+    std::vector<int64_t> cursor(P, 0);
+    for (size_t t = 0; t < foreign_rows[p].size(); t++) {
+      int32_t i = foreign_rows[p][t];
+      int q = dst_owner[i];
+      int64_t c = cursor[q]++;
+      if (c >= S_cap) {
+        out->error = 4;  // shuffle overflow
+        return false;
+      }
+      L.push[((size_t)p * P + q) * S_cap + c] = (int32_t)(n_own[p] + t);
+      L.recv[((size_t)q * P + p) * S_cap + c] = dst_rank[i];
+    }
+  }
+
+  // Owned per-row data.
+  for (int64_t i = 0; i < n; i++) {
+    int p = dst_owner[i];
+    int32_t t = dst_rank[i];
+    L.owned_idx[(size_t)p * O_cap + t] = t;
+    L.owned_deg[(size_t)p * O_cap + t] = (float)ls.counts[i];
+    int32_t self_row;
+    if (use_cache) {
+      self_row = cache_local(frontier[i], p);
+      if (self_row < 0) {
+        out->error = 5;
+        return false;
+      }
+    } else {
+      // frontier is a prefix of the frame: frame row i.
+      self_row = ls.frame_rank[i];
+    }
+    L.self_idx[(size_t)p * O_cap + t] = self_row;
+    L.owned_mask[(size_t)p * O_cap + t] = 1;
+  }
+  for (int p = 0; p < P; p++) L.num_owned[p] = n_own[p];
+  return true;
+}
+
+bool Worker::process(const std::vector<int64_t>& batch, Sample* out) {
+  const int P = cfg_.P;
+  out->error = 0;
+  out->layers.resize(cfg_.L);
+  sample_raw(batch);
+
+  const LayerSample& deepest = layers_[cfg_.L - 1];
+
+  // Cache: assign per-sample dynamic tail ids in deepest-frame order
+  // (identical to CachePlan.refresh ordering) and emit the refresh list.
+  tail_nodes_scratch_.clear();
+  if (cfg_.static_g2l) {
+    out->refresh_nodes.assign((size_t)P * cfg_.refresh_cap, -1);
+    std::vector<int64_t> tail_cnt(P, 0);
+    for (int64_t u : deepest.frame) {
+      int p = cfg_.wmap[u];
+      if (cfg_.static_g2l[(int64_t)u * P + p] < 0 && tail_id_[u] < 0) {
+        int64_t c = tail_cnt[p]++;
+        if (c >= cfg_.refresh_cap) {
+          out->error = 6;  // refresh overflow
+          for (int64_t w : tail_nodes_scratch_) tail_id_[w] = -1;
+          tail_nodes_scratch_.clear();
+          return false;
+        }
+        tail_id_[u] = (int32_t)(cfg_.tail_start + c);
+        tail_nodes_scratch_.push_back(u);
+        out->refresh_nodes[(size_t)p * cfg_.refresh_cap + c] = (int32_t)u;
+      }
+    }
+  }
+
+  bool ok = true;
+  for (int l = 0; l < cfg_.L && ok; l++) ok = slice_layer(l, out);
+
+  if (ok) {
+    // input frame global ids (no-cache path) / targets for labels.
+    out->input_nodes.assign((size_t)P * cfg_.frame_caps[0], -1);
+    std::vector<int64_t> cnt(P, 0);
+    for (int64_t u : deepest.frame) {
+      int p = cfg_.wmap[u];
+      int64_t c = cnt[p]++;
+      if (c < cfg_.frame_caps[0])
+        out->input_nodes[(size_t)p * cfg_.frame_caps[0] + c] = (int32_t)u;
+      else
+        ok = false, out->error = 7;  // input frame overflow
+    }
+    out->targets.assign((size_t)P * cfg_.out_caps[cfg_.L - 1], -1);
+    std::vector<int64_t> tcnt(P, 0);
+    for (size_t i = 0; i < frontier0_.size() && ok; i++) {
+      int p = f0_owner_[i];
+      out->targets[(size_t)p * cfg_.out_caps[cfg_.L - 1] + tcnt[p]++] =
+          (int32_t)frontier0_[i];
+    }
+  }
+
+  // Reset per-sample tail assignments.
+  for (int64_t u : tail_nodes_scratch_) tail_id_[u] = -1;
+  tail_nodes_scratch_.clear();
+  return ok;
+}
+
+// ---------------------------------------------------------------------------
+// Service: producer (epoch batches) + worker threads + output queue.
+// ---------------------------------------------------------------------------
+
+struct Service {
+  Config cfg;
+  std::unique_ptr<BoundedQueue<std::vector<int64_t>*>> work;
+  std::unique_ptr<BoundedQueue<Sample*>> done;
+  std::vector<std::thread> threads;
+  std::vector<Sample*> pool;
+  std::mutex pool_mu;
+  std::atomic<bool> stop{false};
+  uint64_t seed = 0;
+
+  Sample* get_buffer() {
+    std::lock_guard<std::mutex> lk(pool_mu);
+    if (pool.empty()) return new Sample();
+    Sample* s = pool.back();
+    pool.pop_back();
+    return s;
+  }
+  void put_buffer(Sample* s) {
+    std::lock_guard<std::mutex> lk(pool_mu);
+    pool.push_back(s);
+  }
+};
+
+void worker_main(Service* svc, int wid) {
+  Worker w(svc->cfg, svc->seed * 1000003ULL + wid + 1);
+  std::vector<int64_t>* batch;
+  while (svc->work->pop(&batch)) {
+    if (batch->empty()) {  // shutdown sentinel (reference WorkerPool.cpp:52)
+      delete batch;
+      break;
+    }
+    Sample* s = svc->get_buffer();
+    w.process(*batch, s);
+    delete batch;
+    svc->done->push(s);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* occ_create(int64_t num_nodes, const int64_t* indptr,
+                 const int64_t* indices, const int32_t* wmap, int32_t P,
+                 int32_t L, const int32_t* fanouts, const int64_t* frame_caps,
+                 const int64_t* edge_caps, const int64_t* dst_caps,
+                 const int64_t* out_caps, const int64_t* shuffle_caps,
+                 const uint8_t* static_mask, const int32_t* static_g2l,
+                 int64_t tail_start, int64_t refresh_cap, int32_t num_workers,
+                 int32_t queue_depth, uint64_t seed) {
+  Service* svc = new Service();
+  Config& c = svc->cfg;
+  c.num_nodes = num_nodes;
+  c.indptr = indptr;
+  c.indices = indices;
+  c.wmap = wmap;
+  c.P = P;
+  c.L = L;
+  for (int i = 0; i < L; i++) {
+    c.fanouts[i] = fanouts[i];
+    c.edge_caps[i] = edge_caps[i];
+    c.dst_caps[i] = dst_caps[i];
+    c.out_caps[i] = out_caps[i];
+    c.shuffle_caps[i] = shuffle_caps[i];
+  }
+  for (int i = 0; i <= L; i++) c.frame_caps[i] = frame_caps[i];
+  c.static_mask = static_mask;
+  c.static_g2l = static_g2l;
+  c.tail_start = tail_start;
+  c.refresh_cap = refresh_cap;
+  svc->seed = seed;
+  svc->work = std::make_unique<BoundedQueue<std::vector<int64_t>*>>(
+      queue_depth > 0 ? queue_depth : 4);
+  svc->done = std::make_unique<BoundedQueue<Sample*>>(
+      queue_depth > 0 ? queue_depth : 4);
+  for (int i = 0; i < num_workers; i++)
+    svc->threads.emplace_back(worker_main, svc, i);
+  return svc;
+}
+
+// Enqueue one batch of target node ids.
+void occ_submit(void* handle, const int64_t* nodes, int64_t n) {
+  Service* svc = static_cast<Service*>(handle);
+  svc->work->push(new std::vector<int64_t>(nodes, nodes + n));
+}
+
+// Blocking: pop one finished sample and copy it into caller buffers.
+// `field_ptrs` order: per layer l in [0,L): edge_src, edge_dst, push, recv,
+// owned_idx, owned_deg(float), self_idx, owned_mask(uint8), num_owned;
+// then input_nodes, targets, refresh_nodes. Returns error code (0 = ok).
+int32_t occ_next(void* handle, void** field_ptrs) {
+  Service* svc = static_cast<Service*>(handle);
+  Sample* s;
+  if (!svc->done->pop(&s)) return -1;
+  const Config& c = svc->cfg;
+  int32_t err = s->error;
+  if (err == 0) {
+    int f = 0;
+    for (int l = 0; l < c.L; l++) {
+      Sample::Layer& L = s->layers[l];
+      auto cp = [&](const void* src, size_t bytes) {
+        std::memcpy(field_ptrs[f++], src, bytes);
+      };
+      cp(L.edge_src.data(), L.edge_src.size() * 4);
+      cp(L.edge_dst.data(), L.edge_dst.size() * 4);
+      cp(L.push.data(), L.push.size() * 4);
+      cp(L.recv.data(), L.recv.size() * 4);
+      cp(L.owned_idx.data(), L.owned_idx.size() * 4);
+      cp(L.owned_deg.data(), L.owned_deg.size() * 4);
+      cp(L.self_idx.data(), L.self_idx.size() * 4);
+      cp(L.owned_mask.data(), L.owned_mask.size());
+      cp(L.num_owned.data(), L.num_owned.size() * 4);
+    }
+    std::memcpy(field_ptrs[c.L * 9 + 0], s->input_nodes.data(),
+                s->input_nodes.size() * 4);
+    std::memcpy(field_ptrs[c.L * 9 + 1], s->targets.data(),
+                s->targets.size() * 4);
+    if (c.static_g2l)
+      std::memcpy(field_ptrs[c.L * 9 + 2], s->refresh_nodes.data(),
+                  s->refresh_nodes.size() * 4);
+  }
+  svc->put_buffer(s);
+  return err;
+}
+
+void occ_destroy(void* handle) {
+  Service* svc = static_cast<Service*>(handle);
+  // Unblock workers stuck pushing results before sending shutdown
+  // sentinels (closing first avoids the join deadlocking on a full
+  // output queue).
+  svc->done->close();
+  for (size_t i = 0; i < svc->threads.size(); i++)
+    svc->work->push(new std::vector<int64_t>());  // sentinels
+  for (auto& t : svc->threads) t.join();
+  svc->work->close();
+  Sample* s;
+  while (svc->done->pop(&s)) delete s;
+  for (Sample* p : svc->pool) delete p;
+  delete svc;
+}
+
+}  // extern "C"

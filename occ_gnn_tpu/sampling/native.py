@@ -1,0 +1,299 @@
+"""ctypes bindings for the C++ sampling/slicing service (csrc/).
+
+``NativeSplitSampler`` is a drop-in replacement for the numpy
+``SplitSampler``: same constructor surface, same SplitBatch output, but
+sampling+slicing runs in C++ worker threads that pipeline ahead of the
+training loop (the role of the reference's CSlicer/WorkerPool service,
+/root/reference/cslicer/pyfrontend.cpp:25-89 + WorkerPool.cpp:4-60).
+
+The shared library is built on demand from csrc/Makefile.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from occ_gnn_tpu.data.graph import Graph
+from occ_gnn_tpu.parallel.split import SplitBatch, SplitLayer
+from occ_gnn_tpu.sampling.slicer import plan_split_capacities
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libocc_sampler.so")
+_lib = None
+
+
+def _build_library():
+    src = os.path.join(_CSRC, "occ_sampler.cpp")
+    if (not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+        subprocess.run(["make", "-s", "libocc_sampler.so"], cwd=_CSRC,
+                       check=True)
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    _build_library()
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.occ_create.restype = ctypes.c_void_p
+    lib.occ_create.argtypes = [
+        ctypes.c_int64,  # num_nodes
+        ctypes.c_void_p,  # indptr
+        ctypes.c_void_p,  # indices
+        ctypes.c_void_p,  # wmap
+        ctypes.c_int32,  # P
+        ctypes.c_int32,  # L
+        ctypes.c_void_p,  # fanouts
+        ctypes.c_void_p,  # frame_caps
+        ctypes.c_void_p,  # edge_caps
+        ctypes.c_void_p,  # dst_caps
+        ctypes.c_void_p,  # out_caps
+        ctypes.c_void_p,  # shuffle_caps
+        ctypes.c_void_p,  # static_mask
+        ctypes.c_void_p,  # static_g2l
+        ctypes.c_int64,  # tail_start
+        ctypes.c_int64,  # refresh_cap
+        ctypes.c_int32,  # num_workers
+        ctypes.c_int32,  # queue_depth
+        ctypes.c_uint64,  # seed
+    ]
+    lib.occ_submit.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                               ctypes.c_int64]
+    lib.occ_next.restype = ctypes.c_int32
+    lib.occ_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.occ_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+_ERRORS = {
+    1: "owned capacity overflow",
+    2: "edge capacity overflow",
+    3: "dst frame capacity overflow",
+    4: "shuffle capacity overflow",
+    5: "routed src missing from cache",
+    6: "refresh capacity overflow",
+    7: "input frame capacity overflow",
+}
+
+
+class NativeSplitSampler:
+    """Pipelined C++ sampler+slicer with the SplitSampler interface."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        train_nodes: np.ndarray,
+        partition_map: np.ndarray,
+        num_partitions: int,
+        fanouts: list[int],
+        batch_size: int,
+        capacities: dict | None = None,
+        seed: int = 0,
+        drop_last: bool = False,
+        cache=None,
+        num_workers: int = 2,
+        queue_depth: int = 4,
+    ):
+        self.graph = graph
+        self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
+        self.P = num_partitions
+        self.fanouts = list(fanouts)
+        self.batch_size = batch_size
+        self.caps = capacities or plan_split_capacities(
+            batch_size, self.fanouts, graph.num_nodes, num_partitions
+        )
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.cache = cache
+        plan = getattr(cache, "plan", cache)
+        self.cache_plan = plan
+
+        lib = load_library()
+        # Keep every array passed by pointer alive on self.
+        self._indptr = np.ascontiguousarray(graph.indptr, dtype=np.int64)
+        self._indices = np.ascontiguousarray(graph.indices, dtype=np.int64)
+        self._wmap = np.ascontiguousarray(partition_map, dtype=np.int32)
+        self._fanouts = np.asarray(self.fanouts, dtype=np.int32)
+        self._frame_caps = np.asarray(self.caps["frame_caps"], dtype=np.int64)
+        self._edge_caps = np.asarray(self.caps["edge_caps"], dtype=np.int64)
+        self._dst_caps = np.asarray(self.caps["dst_caps"], dtype=np.int64)
+        self._out_caps = np.asarray(self.caps["out_caps"], dtype=np.int64)
+        self._shuffle_caps = np.asarray(
+            self.caps["shuffle_caps"], dtype=np.int64
+        )
+        if plan is not None:
+            # Static-only maps: dynamic tail ids are assigned per sample
+            # inside the workers (no shared mutable state).
+            self._static_mask = np.ascontiguousarray(
+                plan.static_node_mask, dtype=np.uint8
+            )
+            self._static_g2l = np.ascontiguousarray(
+                plan.static_global_to_local, dtype=np.int32
+            )
+            mask_p = self._static_mask.ctypes.data
+            g2l_p = self._static_g2l.ctypes.data
+            tail_start = plan.tail_start
+            refresh_cap = plan.refresh_cap
+        else:
+            self._static_mask = self._static_g2l = None
+            mask_p = g2l_p = None
+            tail_start = refresh_cap = 0
+        self.refresh_cap = refresh_cap
+
+        self._handle = lib.occ_create(
+            graph.num_nodes,
+            self._indptr.ctypes.data,
+            self._indices.ctypes.data,
+            self._wmap.ctypes.data,
+            self.P,
+            len(self.fanouts),
+            self._fanouts.ctypes.data,
+            self._frame_caps.ctypes.data,
+            self._edge_caps.ctypes.data,
+            self._dst_caps.ctypes.data,
+            self._out_caps.ctypes.data,
+            self._shuffle_caps.ctypes.data,
+            mask_p,
+            g2l_p,
+            tail_start,
+            refresh_cap,
+            num_workers,
+            queue_depth,
+            seed + 1,
+        )
+        self._lib = lib
+        self._closed = False
+
+    # -- epoch iteration ---------------------------------------------------
+
+    def __len__(self):
+        n = self.train_nodes.shape[0]
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = self.rng.permutation(self.train_nodes.shape[0])
+        nodes = self.train_nodes[order]
+        pending = 0
+        submitted = 0
+        total = len(self)
+        bs = self.batch_size
+        for b in range(total):
+            batch = np.ascontiguousarray(nodes[b * bs : (b + 1) * bs])
+            self._lib.occ_submit(
+                self._handle, batch.ctypes.data, batch.shape[0]
+            )
+            pending += 1
+            submitted += 1
+            # keep the pipeline primed but bounded
+            if pending >= 3 or submitted == total:
+                while pending > (0 if submitted == total else 2):
+                    yield self._pop()
+                    pending -= 1
+        while pending > 0:
+            yield self._pop()
+            pending -= 1
+
+    def sample_batch(self, batch: np.ndarray) -> SplitBatch:
+        batch = np.ascontiguousarray(batch, dtype=np.int64)
+        self._lib.occ_submit(self._handle, batch.ctypes.data, batch.shape[0])
+        return self._pop()
+
+    # -- internals ---------------------------------------------------------
+
+    def _alloc_fields(self):
+        P, L = self.P, len(self.fanouts)
+        caps = self.caps
+        fields = []
+        for l in range(L):
+            E, S, O = caps["edge_caps"][l], caps["shuffle_caps"][l], caps["out_caps"][l]
+            fields.append({
+                "edge_src": np.empty((P, E), np.int32),
+                "edge_dst": np.empty((P, E), np.int32),
+                "push": np.empty((P, P, S), np.int32),
+                "recv": np.empty((P, P, S), np.int32),
+                "owned_idx": np.empty((P, O), np.int32),
+                "owned_deg": np.empty((P, O), np.float32),
+                "self_idx": np.empty((P, O), np.int32),
+                "owned_mask": np.empty((P, O), np.uint8),
+                "num_owned": np.empty((P,), np.int32),
+            })
+        extra = {
+            "input_nodes": np.empty((P, caps["frame_caps"][0]), np.int32),
+            "targets": np.empty((P, caps["out_caps"][-1]), np.int32),
+            "refresh_nodes": np.empty(
+                (P, max(self.refresh_cap, 1)), np.int32
+            ),
+        }
+        return fields, extra
+
+    def _pop(self) -> SplitBatch:
+        import jax.numpy as jnp
+
+        fields, extra = self._alloc_fields()
+        ptrs = []
+        order = ["edge_src", "edge_dst", "push", "recv", "owned_idx",
+                 "owned_deg", "self_idx", "owned_mask", "num_owned"]
+        for layer in fields:
+            for k in order:
+                ptrs.append(layer[k].ctypes.data)
+        ptrs.append(extra["input_nodes"].ctypes.data)
+        ptrs.append(extra["targets"].ctypes.data)
+        ptrs.append(extra["refresh_nodes"].ctypes.data)
+        arr = (ctypes.c_void_p * len(ptrs))(*ptrs)
+        err = self._lib.occ_next(self._handle, arr)
+        if err != 0:
+            raise ValueError(
+                f"native slicer error: {_ERRORS.get(err, err)} — raise the "
+                f"capacity config"
+            )
+        caps = self.caps
+        layers = []
+        for l, f in enumerate(fields):
+            layers.append(SplitLayer(
+                edge_src=jnp.asarray(f["edge_src"]),
+                edge_dst=jnp.asarray(f["edge_dst"]),
+                push_idx=jnp.asarray(f["push"]),
+                recv_idx=jnp.asarray(f["recv"]),
+                owned_idx=jnp.asarray(f["owned_idx"]),
+                owned_deg=jnp.asarray(f["owned_deg"]),
+                self_idx=jnp.asarray(f["self_idx"]),
+                owned_mask=jnp.asarray(f["owned_mask"].astype(bool)),
+                num_owned=jnp.asarray(f["num_owned"]),
+                src_cap=(self.cache_plan.frame_cap if (l == 0 and self.cache_plan is not None)
+                         else caps["frame_caps"][l]),
+                dst_cap=caps["dst_caps"][l],
+                out_cap=caps["out_caps"][l],
+            ))
+        targets = extra["targets"]
+        labels = np.where(
+            targets >= 0,
+            self.graph.labels[np.maximum(targets, 0)].astype(np.int32),
+            -1,
+        )
+        batch = SplitBatch(
+            layers=layers,
+            input_nodes=jnp.asarray(extra["input_nodes"]),
+            labels=jnp.asarray(labels),
+        )
+        if self.cache is not None and hasattr(self.cache, "apply_tail"):
+            self.cache.apply_tail(extra["refresh_nodes"])
+        return batch
+
+    def close(self):
+        if not self._closed and self._handle:
+            self._lib.occ_destroy(self._handle)
+            self._closed = True
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -408,3 +408,84 @@ def raw_to_single_batch(raw: list[_RawLayer], graph: Graph, caps: dict):
         input_nodes=jnp.asarray(input_nodes),
         labels=jnp.asarray(labels),
     )
+
+
+def measure_split_capacities(
+    graph: Graph,
+    train_nodes: np.ndarray,
+    partition_map: np.ndarray,
+    num_partitions: int,
+    fanouts: list[int],
+    batch_size: int,
+    num_batches: int = 4,
+    margin: float = 1.35,
+    seed: int = 0,
+    cache_plan=None,
+) -> dict:
+    """Empirical padding budgets: slice a few batches under the always-safe
+    capacities, record the observed per-field maxima, and return them with
+    headroom (rounded up to multiples of 128 for edges, 8 elsewhere).
+
+    This is how production configs avoid the worst-case fanout-product
+    padding (choosing padding budgets is the 'hard part' called out in
+    SURVEY.md §7); overflow at runtime still raises cleanly, and re-running
+    with a larger margin is cheap.
+    """
+    safe = plan_split_capacities(batch_size, fanouts, graph.num_nodes,
+                                 num_partitions)
+    sampler = SplitSampler(graph, train_nodes, partition_map, num_partitions,
+                           fanouts, batch_size, capacities=safe, seed=seed,
+                           cache=cache_plan)
+    L = len(fanouts)
+    max_edges = [0] * L
+    max_dst = [0] * L
+    max_owned = [0] * L
+    max_shuffle = [0] * L
+    max_frame0 = 0
+    max_refresh = 0
+    it = iter(sampler)
+    for _ in range(num_batches):
+        try:
+            batch = next(it)
+        except StopIteration:
+            break
+        for l, lyr in enumerate(batch.layers):
+            ed = np.asarray(lyr.edge_dst)
+            valid = ed < lyr.dst_cap
+            max_edges[l] = max(max_edges[l], int(valid.sum(axis=1).max()))
+            dmax = np.where(valid, ed, -1).max(axis=1) + 1
+            max_dst[l] = max(max_dst[l], int(dmax.max()))
+            max_owned[l] = max(
+                max_owned[l], int(np.asarray(lyr.num_owned).max())
+            )
+            push = np.asarray(lyr.push_idx)
+            max_shuffle[l] = max(
+                max_shuffle[l], int((push >= 0).sum(axis=2).max())
+            )
+        max_frame0 = max(
+            max_frame0,
+            int((np.asarray(batch.input_nodes) >= 0).sum(axis=1).max()),
+        )
+        if cache_plan is not None:
+            plan = getattr(cache_plan, "plan", cache_plan)
+            max_refresh = max(
+                max_refresh,
+                max(int(d.shape[0]) for d in plan._dynamic) if plan._dynamic
+                else 0,
+            )
+
+    def up(x, m, q):
+        return int(-(-max(int(np.ceil(x * m)), q) // q) * q)
+
+    out_caps = [up(x, margin, 8) for x in max_owned]
+    frame_caps = [up(max_frame0, margin, 8)] + out_caps
+    caps = {
+        "frame_caps": frame_caps,
+        "edge_caps": [up(x, margin, 128) for x in max_edges],
+        "dst_caps": [up(x, margin, 8) for x in max_dst],
+        "out_caps": out_caps,
+        "shuffle_caps": [up(x, margin, 8) for x in max_shuffle],
+    }
+    if cache_plan is not None:
+        caps["refresh_cap"] = up(max_refresh, margin, 8)
+    return caps

@@ -48,6 +48,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="mesh size for split/ddp; 0 = all devices")
     p.add_argument("--partition-mode", type=str, default="greedy",
                    choices=["greedy", "metis", "random", "round_robin"])
+    p.add_argument("--sampler", type=str, default="native",
+                   choices=["native", "numpy"],
+                   help="split-mode sampler backend (native = pipelined C++)")
+    p.add_argument("--measure-caps", action="store_true",
+                   help="measure padding capacities from a few batches "
+                        "instead of worst-case planning")
+    p.add_argument("--num-workers", type=int, default=2,
+                   help="C++ sampler worker threads")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-nodes", type=int, default=10000,
                    help="synthetic graph size")
@@ -152,19 +160,50 @@ def train_split(args, g, fanouts, timers):
             pmap = partition_graph(g, P, mode=args.partition_mode)
     mesh = make_mesh(P)
 
-    sampler_kw = {}
     cache = None
-    from occ_gnn_tpu.sampling.slicer import plan_split_capacities
+    from occ_gnn_tpu.sampling.slicer import (
+        measure_split_capacities,
+        plan_split_capacities,
+    )
 
-    caps = plan_split_capacities(args.batch_size, fanouts, g.num_nodes, P)
+    with timers.phase("capacity_plan"):
+        safe_caps = plan_split_capacities(
+            args.batch_size, fanouts, g.num_nodes, P
+        )
+        if args.measure_caps:
+            # Measure with the cache policy active — it changes where the
+            # innermost layer's edges execute, hence the per-field maxima.
+            probe_plan = None
+            if args.cache_per > 0:
+                probe_plan = CachePlan(
+                    g, pmap, P, args.cache_per,
+                    refresh_cap=safe_caps["frame_caps"][0],
+                )
+            caps = measure_split_capacities(
+                g, g.train_nodes(), pmap, P, fanouts, args.batch_size,
+                seed=args.seed + 99, cache_plan=probe_plan,
+            )
+        else:
+            caps = dict(safe_caps)
     if args.cache_per > 0:
-        plan = CachePlan(g, pmap, P, args.cache_per,
-                         refresh_cap=caps["frame_caps"][0])
+        refresh_cap = max(caps.pop("refresh_cap", 0), 8) \
+            if args.measure_caps else safe_caps["frame_caps"][0]
+        plan = CachePlan(g, pmap, P, args.cache_per, refresh_cap=refresh_cap)
         cache = SplitFeatureCache(plan)
-        sampler_kw["cache"] = cache
-    sampler = SplitSampler(g, g.train_nodes(), pmap, P, fanouts,
-                           args.batch_size, capacities=caps,
-                           seed=args.seed, **sampler_kw)
+    else:
+        caps.pop("refresh_cap", None)
+    if args.sampler == "native":
+        from occ_gnn_tpu.sampling.native import NativeSplitSampler
+
+        sampler = NativeSplitSampler(
+            g, g.train_nodes(), pmap, P, fanouts, args.batch_size,
+            capacities=caps, seed=args.seed, cache=cache,
+            num_workers=args.num_workers,
+        )
+    else:
+        sampler = SplitSampler(g, g.train_nodes(), pmap, P, fanouts,
+                               args.batch_size, capacities=caps,
+                               seed=args.seed, cache=cache)
 
     model = _make_model(args, g, split=True)
     params = model.init(jax.random.PRNGKey(args.seed))
