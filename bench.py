@@ -57,13 +57,17 @@ def main():
     batch_size = 1024
     cache_pct = 0.25
 
+    from occ_gnn_tpu.sampling.slicer import plan_split_capacities
+
+    safe = plan_split_capacities(batch_size, fanouts, g.num_nodes, P)
+    probe = CachePlan(g, pmap, P, cache_pct,
+                      refresh_cap=safe["frame_caps"][0])
     caps = measure_split_capacities(
         g, g.train_nodes(), pmap, P, fanouts, batch_size, num_batches=3,
-        margin=1.5, seed=1,
+        margin=1.5, seed=1, cache_plan=probe,
     )
     plan = CachePlan(g, pmap, P, cache_pct,
-                     refresh_cap=max(caps.pop("refresh_cap", 0),
-                                     caps["frame_caps"][0]))
+                     refresh_cap=max(caps.pop("refresh_cap", 8), 8))
     cache = SplitFeatureCache(plan)
     sampler = NativeSplitSampler(
         g, g.train_nodes(), pmap, P, fanouts, batch_size,

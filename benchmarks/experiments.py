@@ -1,0 +1,238 @@
+"""Experiment harness — the analog of the reference's experiments/exp1..6
+(/root/reference/experiments/): each experiment prints a markdown table and
+appends a JSON record to benchmarks/results/.
+
+    python -m benchmarks.experiments exp1 [--cpu] ...   sampling/slicing cost
+    python -m benchmarks.experiments exp3 ...           cache sweep
+    python -m benchmarks.experiments exp4 ...           split-benefit analytics
+    python -m benchmarks.experiments exp6 ...           OCC vs baselines phases
+
+Unlike the reference (which shells out to training scripts and regex-scrapes
+stdout, exp6/occ.py:12-29), experiments call the framework directly and emit
+structured JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
+
+
+def _record(name: str, payload: dict):
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    payload = {"experiment": name, "time": time.time(), **payload}
+    with open(os.path.join(RESULTS_DIR, f"{name}.jsonl"), "a") as fp:
+        fp.write(json.dumps(payload) + "\n")
+    return payload
+
+
+def _test_graph(args):
+    from occ_gnn_tpu.data import random_graph
+
+    return random_graph(
+        num_nodes=args.num_nodes,
+        avg_degree=args.avg_degree,
+        feature_dim=args.feature_dim,
+        num_classes=32,
+        seed=0,
+    )
+
+
+def exp1(args):
+    """Sampling + slicing cost: numpy reference vs C++ service
+    (reference exp1 compared DGL-CPU vs custom samplers)."""
+    from occ_gnn_tpu.data import partition_graph
+    from occ_gnn_tpu.sampling.native import NativeSplitSampler
+    from occ_gnn_tpu.sampling.slicer import SplitSampler, measure_split_capacities
+
+    g = _test_graph(args)
+    pmap = partition_graph(g, args.partitions, mode="greedy")
+    fanouts = [int(f) for f in args.fan_out.split(",")]
+    caps = measure_split_capacities(g, g.train_nodes(), pmap,
+                                    args.partitions, fanouts,
+                                    args.batch_size, num_batches=2)
+    nodes = g.train_nodes()[: args.batch_size]
+
+    py = SplitSampler(g, g.train_nodes(), pmap, args.partitions, fanouts,
+                      args.batch_size, capacities=caps, seed=1)
+    t0 = time.perf_counter()
+    raw = py._sample_raw(nodes)
+    t_sample = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    py.slice_raw(raw)
+    t_slice = time.perf_counter() - t0
+
+    nat = NativeSplitSampler(g, g.train_nodes(), pmap, args.partitions,
+                             fanouts, args.batch_size, capacities=caps,
+                             seed=1, num_workers=1)
+    nat.sample_batch(nodes)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        nat.sample_batch(nodes)
+    t_native = (time.perf_counter() - t0) / reps
+    nat.close()
+
+    rec = _record("exp1", {
+        "graph": f"random-{g.num_nodes}", "batch_size": args.batch_size,
+        "fanouts": fanouts,
+        "numpy_sample_s": round(t_sample, 4),
+        "numpy_slice_s": round(t_slice, 4),
+        "native_batch_s": round(t_native, 4),
+        "speedup": round((t_sample + t_slice) / t_native, 2),
+    })
+    print("| phase | seconds/batch |")
+    print("|---|---|")
+    print(f"| numpy sample | {t_sample:.4f} |")
+    print(f"| numpy slice | {t_slice:.4f} |")
+    print(f"| native sample+slice (incl convert) | {t_native:.4f} |")
+    print(f"| native speedup | {rec['speedup']}x |")
+
+
+def exp3(args):
+    """Cache sweep: hit rate + feature-load time vs cache percentage
+    (reference exp3: epoch time at 0/10/25/100% cache)."""
+    from occ_gnn_tpu.cache import SingleChipCache
+    from occ_gnn_tpu.sampling.neighbor import NeighborSampler
+
+    g = _test_graph(args)
+    fanouts = [int(f) for f in args.fan_out.split(",")]
+    sampler = NeighborSampler(g, g.train_nodes(), fanouts, args.batch_size,
+                              seed=0, drop_last=True)
+    batches = []
+    it = iter(sampler)
+    for _ in range(min(len(sampler), 8)):
+        batches.append(np.asarray(next(it).input_nodes))
+
+    rows = []
+    for pct in (0.0, 0.1, 0.25, 0.5, 1.0):
+        if pct == 0.0:
+            t0 = time.perf_counter()
+            for b in batches:
+                safe = np.maximum(b, 0)
+                _ = g.features[safe]
+            dt = time.perf_counter() - t0
+            rows.append((pct, 0.0, dt / len(batches)))
+            continue
+        cache = SingleChipCache(g, pct, sampler.caps["frame_caps"][0])
+        import jax
+
+        out = cache.load_input_frame(batches[0])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for b in batches:
+            out = cache.load_input_frame(b)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        rows.append((pct, cache.hit_rate, dt / len(batches)))
+
+    _record("exp3", {"rows": [
+        {"cache_pct": p, "hit_rate": round(h, 4),
+         "load_s_per_batch": round(t, 5)} for p, h, t in rows
+    ]})
+    print("| cache % | hit rate | feature load s/batch |")
+    print("|---|---|---|")
+    for p, h, t in rows:
+        print(f"| {int(p*100)} | {h:.3f} | {t:.5f} |")
+
+
+def exp4(args):
+    """Analytic split-benefit metrics from the partition map (reference
+    exp4: naive-move / cross-edge / cache-benefit / redundancy / skew
+    estimated without running the system)."""
+    from occ_gnn_tpu.cache import CachePlan
+    from occ_gnn_tpu.data import partition_graph
+    from occ_gnn_tpu.data.partition import edge_cut_fraction
+    from occ_gnn_tpu.sampling.slicer import SplitSampler
+
+    g = _test_graph(args)
+    fanouts = [int(f) for f in args.fan_out.split(",")]
+    rows = []
+    for mode in ("round_robin", "random", "greedy"):
+        pmap = partition_graph(g, args.partitions, mode=mode, attach=False)
+        cut = edge_cut_fraction(g, pmap)
+        plan = CachePlan(g, pmap, args.partitions, 0.25,
+                         refresh_cap=8)
+        s = SplitSampler(g, g.train_nodes(), pmap, args.partitions, fanouts,
+                         args.batch_size, seed=3, cache=plan)
+        batch = s.sample_batch(g.train_nodes()[: args.batch_size])
+        shuffle = sum(int((np.asarray(l.push_idx) >= 0).sum())
+                      for l in batch.layers)
+        owned = sum(int(np.asarray(l.num_owned).sum())
+                    for l in batch.layers)
+        per_p = np.stack([
+            (np.asarray(l.edge_dst) < l.dst_cap).sum(axis=1)
+            for l in batch.layers
+        ]).sum(axis=0)
+        skew = float(per_p.max() / max(per_p.mean(), 1))
+        rows.append((mode, cut, shuffle / max(owned, 1), skew))
+    _record("exp4", {"rows": [
+        {"partition": m, "edge_cut": round(c, 4),
+         "shuffle_per_owned": round(s, 4), "edge_skew": round(k, 3)}
+        for m, c, s, k in rows
+    ]})
+    print("| partition | edge cut | shuffle/owned | edge skew |")
+    print("|---|---|---|---|")
+    for m, c, s, k in rows:
+        print(f"| {m} | {c:.3f} | {s:.3f} | {k:.2f} |")
+
+
+def exp6(args):
+    """OCC (split) vs DDP vs PaGraph-cache phase table (reference exp6)."""
+    from occ_gnn_tpu import train as trainer
+
+    common = ["--graph", "random", "--num-nodes", str(args.num_nodes),
+              "--avg-degree", str(args.avg_degree),
+              "--feature-dim", str(args.feature_dim),
+              "--fan-out", args.fan_out,
+              "--batch-size", str(args.batch_size),
+              "--num-hidden", "64", "--num-epochs", "2"]
+    if args.cpu:
+        common.append("--cpu")
+    results = {}
+    for mode in ("split", "ddp", "pa-cache"):
+        argv = common + ["--mode", mode]
+        if mode in ("split", "pa-cache"):
+            argv += ["--cache-per", "0.25"]
+        if mode == "split":
+            argv += ["--measure-caps"]
+        t0 = time.perf_counter()
+        m = trainer.main(argv)
+        m["wall_s"] = round(time.perf_counter() - t0, 2)
+        results[mode] = m
+    _record("exp6", results)
+    print("| mode | final acc | wall s |")
+    print("|---|---|---|")
+    for mode, m in results.items():
+        print(f"| {mode} | {m['acc']:.4f} | {m['wall_s']} |")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("experiments")
+    p.add_argument("exp", choices=["exp1", "exp3", "exp4", "exp6"])
+    p.add_argument("--num-nodes", type=int, default=20000)
+    p.add_argument("--avg-degree", type=int, default=10)
+    p.add_argument("--feature-dim", type=int, default=64)
+    p.add_argument("--fan-out", type=str, default="10,10")
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--partitions", type=int, default=4)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    globals()[args.exp](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,7 +61,10 @@ class SplitSAGE:
 
     def layer(self, params, lyr: SplitLayer, x: jax.Array) -> jax.Array:
         neigh = local_aggregate(x, lyr.edge_src, lyr.edge_dst, lyr.dst_cap)
-        merged = shuffle_merge(neigh, lyr.push_idx, lyr.recv_idx)
+        if lyr.push_idx.shape[0] > 1:  # P == 1: no foreign edges exist
+            merged = shuffle_merge(neigh, lyr.push_idx, lyr.recv_idx)
+        else:
+            merged = neigh
         self_x, neigh_mean, mask = slice_owned(merged, lyr, x)
         h = linear(params, jnp.concatenate([self_x, neigh_mean], axis=-1))
         return h * mask
@@ -92,7 +95,10 @@ class SplitGCN(SplitSAGE):
 
     def layer(self, params, lyr: SplitLayer, x: jax.Array) -> jax.Array:
         neigh = local_aggregate(x, lyr.edge_src, lyr.edge_dst, lyr.dst_cap)
-        merged = shuffle_merge(neigh, lyr.push_idx, lyr.recv_idx)
+        if lyr.push_idx.shape[0] > 1:
+            merged = shuffle_merge(neigh, lyr.push_idx, lyr.recv_idx)
+        else:
+            merged = neigh
         _, neigh_mean, mask = slice_owned(merged, lyr, x)
         return linear(params, neigh_mean) * mask
 

@@ -56,6 +56,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "instead of worst-case planning")
     p.add_argument("--num-workers", type=int, default=2,
                    help="C++ sampler worker threads")
+    p.add_argument("--save-dir", type=str, default="",
+                   help="checkpoint directory (saves every epoch)")
+    p.add_argument("--resume", type=str, default="",
+                   help="checkpoint file to resume from")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-nodes", type=int, default=10000,
                    help="synthetic graph size")
@@ -209,10 +213,18 @@ def train_split(args, g, fanouts, timers):
     params = model.init(jax.random.PRNGKey(args.seed))
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
+    start_epoch = 0
+    if args.resume:
+        from occ_gnn_tpu.utils.checkpoint import load_checkpoint
+
+        params, opt_state, start_epoch = load_checkpoint(
+            args.resume, params, opt_state
+        )
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
     step = make_split_train_step(model, opt, mesh)
 
     acc = loss_v = 0.0
-    for epoch in range(args.num_epochs):
+    for epoch in range(start_epoch, args.num_epochs):
         t0 = time.perf_counter()
         correct = total = 0
         for batch in sampler:
@@ -237,6 +249,14 @@ def train_split(args, g, fanouts, timers):
         print(f"epoch {epoch}: loss={loss_v:.4f} acc={acc:.4f} "
               f"time={dt:.2f}s [{timers.summary()}]")
         timers.clear()
+        if args.save_dir:
+            from occ_gnn_tpu.utils.checkpoint import save_checkpoint
+
+            path = save_checkpoint(
+                f"{args.save_dir}/split_epoch.npz", params, opt_state,
+                epoch + 1,
+            )
+            print(f"checkpoint -> {path}")
     return {"mode": "split", "acc": acc, "loss": loss_v, "partitions": P}
 
 
