@@ -212,9 +212,10 @@ void Worker::sample_raw(const std::vector<int64_t>& batch) {
       int32_t c = 1;
       int64_t deg = cfg_.indptr[v + 1] - cfg_.indptr[v];
       int64_t off = cfg_.indptr[v];
-      int64_t take = deg <= fanout ? deg : fanout;
+      // fanout < 0 means full neighborhood (reference fanout=-1)
+      int64_t take = (fanout < 0 || deg <= fanout) ? deg : fanout;
       for (int64_t j = 0; j < take; j++) {
-        int64_t u = (deg <= fanout)
+        int64_t u = (take == deg)
                         ? cfg_.indices[off + j]
                         : cfg_.indices[off + (int64_t)(rng_.next() % deg)];
         int32_t pos = mask_[u];

@@ -210,8 +210,36 @@ def _local_ce(logits, labels):
     return jnp.sum(nll), jnp.sum(valid), correct
 
 
+def _make_split_train_step_single(model, optimizer):
+    @jax.jit
+    def step(params, opt_state, batch: SplitBatch, x0):
+        layers_l = [_unstack(l) for l in batch.layers]
+
+        def loss_fn(prm):
+            logits = model.forward_local(prm, layers_l, x0[0])
+            nll, cnt, correct = _local_ce(logits, batch.labels[0])
+            return nll / jnp.maximum(cnt, 1), (correct, cnt)
+
+        (loss, (correct, cnt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, correct, cnt
+
+    return step
+
+
 def make_split_forward(model, mesh):
     """jit'd sharded inference: returns per-partition logits [P, T_cap, C]."""
+    if mesh.devices.size == 1:
+
+        @jax.jit
+        def fwd_single(params, batch: SplitBatch, x0):
+            layers_l = [_unstack(l) for l in batch.layers]
+            return model.forward_local(params, layers_l, x0[0])[None]
+
+        return fwd_single
 
     def body(params, layers, x0):
         layers_l = [_unstack(l) for l in layers]
@@ -235,7 +263,13 @@ def make_split_forward(model, mesh):
 
 def make_split_train_step(model, optimizer, mesh):
     """jit'd sharded train step: forward, psum'd loss, backward (param grads
-    psum'd by the shard_map transpose), optimizer update."""
+    psum'd by the shard_map transpose), optimizer update.
+
+    A 1-device mesh compiles without shard_map (psum over a singleton axis
+    is the identity) — same numerics, none of the SPMD overhead.
+    """
+    if mesh.devices.size == 1:
+        return _make_split_train_step_single(model, optimizer)
 
     def loss_body(params, layers, labels, x0):
         layers_l = [_unstack(l) for l in layers]

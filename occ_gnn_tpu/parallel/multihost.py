@@ -1,0 +1,99 @@
+"""Multi-host (pod-slice) support for split-parallel training.
+
+Design (SURVEY.md §7 step 6): the device mesh spans all hosts' chips; the
+SPMD step (shard_map + all_to_all) is host-agnostic — XLA routes
+intra-host boundary exchange over ICI and cross-host over DCN. What needs
+host-side care is the sampler: every host must agree on each minibatch's
+sampled computation graph WITHOUT communicating.
+
+The trick is **deterministic replicated sampling**: every host runs the
+same seeded sampler over the same train-node permutation, producing the
+same global slice; each host then keeps only the per-partition arrays for
+the partitions its local chips own, and assembles the global [P, ...]
+jax.Arrays with ``jax.make_array_from_process_local_data``. No cross-host
+sampler traffic, exactly one all_to_all per layer at train time (the
+reference never attempted multi-host; its scaling stopped at 4 GPUs on one
+box).
+
+The C++ service makes the per-host redundant sampling cheap (it is already
+overlapped with the step), and a future optimization can shard the
+*sampling* work per host and exchange slices over DCN; the data structures
+here would not change.
+
+Single-process usage degrades gracefully (process_count == 1), which is
+how the multihost path is exercised in tests and by dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def local_partition_range(mesh: jax.sharding.Mesh) -> tuple[int, int]:
+    """The contiguous [lo, hi) range of mesh-axis positions whose devices
+    are addressable by this process (partition ids this host must supply).
+    """
+    devices = mesh.devices.reshape(-1)
+    local_ids = [
+        i for i, d in enumerate(devices)
+        if d.process_index == jax.process_index()
+    ]
+    if not local_ids:
+        return 0, 0
+    lo, hi = min(local_ids), max(local_ids) + 1
+    assert local_ids == list(range(lo, hi)), (
+        "mesh axis must place each host's devices contiguously"
+    )
+    return lo, hi
+
+
+def assemble_global(mesh: jax.sharding.Mesh, tree):
+    """Build global [P, ...] jax.Arrays from each process's local slice of
+    the leading axis. ``tree`` holds this host's rows (hi-lo on axis 0).
+
+    In single-process runs this is just device_put with the mesh sharding.
+    """
+    sharding = NamedSharding(mesh, P("p"))
+
+    def put(x):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+class MultiHostSplitSampler:
+    """Wraps a SplitSampler/NativeSplitSampler for multi-host runs.
+
+    Every host constructs the SAME underlying sampler (same seed, same
+    train nodes, P = total mesh size). At pop time the host slices rows
+    [lo, hi) of every [P, ...] array and assembles global arrays over the
+    mesh. For process_count == 1 this reduces to sharding the full batch.
+    """
+
+    def __init__(self, inner, mesh: jax.sharding.Mesh):
+        self.inner = inner
+        self.mesh = mesh
+        self.lo, self.hi = local_partition_range(mesh)
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        for batch in self.inner:
+            yield self._assemble(batch)
+
+    def sample_batch(self, nodes):
+        return self._assemble(self.inner.sample_batch(nodes))
+
+    def _assemble(self, batch):
+        lo, hi = self.lo, self.hi
+
+        def slice_local(x):
+            return np.asarray(x)[lo:hi]
+
+        local = jax.tree_util.tree_map(slice_local, batch)
+        return assemble_global(self.mesh, local)

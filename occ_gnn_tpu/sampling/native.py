@@ -106,7 +106,8 @@ class NativeSplitSampler:
         self.fanouts = list(fanouts)
         self.batch_size = batch_size
         self.caps = capacities or plan_split_capacities(
-            batch_size, self.fanouts, graph.num_nodes, num_partitions
+            batch_size, self.fanouts, graph.num_nodes, num_partitions,
+            num_edges=graph.num_edges,
         )
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)

@@ -26,6 +26,7 @@ def plan_capacities(
     fanouts: list[int],
     num_nodes: int,
     safety: float = 1.0,
+    num_edges: int | None = None,
 ) -> dict:
     """Static padding budget per layer.
 
@@ -34,18 +35,23 @@ def plan_capacities(
     out to ``fanout`` new nodes plus itself; everything is clipped at
     ``num_nodes`` since frames are deduplicated.
     """
-    # Walk outermost (targets) -> innermost to size frontiers.
+    # Walk outermost (targets) -> innermost to size frontiers. A negative
+    # fanout means full neighborhood: the frontier is bounded only by the
+    # node count.
     sizes = [batch_size]
     for f in fanouts:
-        nxt = sizes[-1] * (f + 1)
+        nxt = sizes[-1] * (f + 1) if f >= 0 else num_nodes
         sizes.append(min(int(nxt * safety), num_nodes))
     # sizes[0]=targets ... sizes[L]=deepest frontier. Frames innermost-first.
     frame_caps = list(reversed(sizes))
     edge_caps = []
+    full_edge_bound = (num_edges if num_edges is not None
+                       else num_nodes * 32) + num_nodes
     for l, f in enumerate(reversed(fanouts)):
         # innermost-first block l: dst frame = frame_caps[l + 1]
         dst = frame_caps[l + 1]
-        edge_caps.append(dst * (f + 1))
+        edge_caps.append(dst * (f + 1) if f >= 0
+                         else min(full_edge_bound, dst * num_nodes))
     return {"frame_caps": frame_caps, "edge_caps": edge_caps}
 
 
@@ -65,6 +71,8 @@ def sample_layer_edges(
     n = frontier.shape[0]
     deg = (indptr[frontier + 1] - indptr[frontier]).astype(np.int64)
     offs = indptr[frontier]
+    if fanout < 0:  # full neighborhood (reference fanout=-1, train.py:31)
+        fanout = int(deg.max()) if n else 0
     take = np.minimum(deg, fanout)
     counts = take + 1  # +1 for the self loop
     total = int(counts.sum())
@@ -127,7 +135,8 @@ class NeighborSampler:
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.caps = capacities or plan_capacities(
-            batch_size, self.fanouts, graph.num_nodes
+            batch_size, self.fanouts, graph.num_nodes,
+            num_edges=graph.num_edges,
         )
         self.drop_last = drop_last
 

@@ -67,6 +67,7 @@ def plan_split_capacities(
     num_nodes: int,
     num_partitions: int,
     skew: float | None = None,
+    num_edges: int | None = None,
 ) -> dict:
     """Uniform per-partition padding budgets.
 
@@ -75,7 +76,8 @@ def plan_split_capacities(
     padded as if it got the whole batch) — correct but memory-hungry, meant
     for tests. Production uses measured capacities (measure_split_capacities).
     """
-    single = plan_capacities(batch_size, fanouts, num_nodes)
+    single = plan_capacities(batch_size, fanouts, num_nodes,
+                             num_edges=num_edges)
     P = num_partitions
     factor = 1.0 if skew is None else skew / P
 
@@ -144,7 +146,8 @@ class SplitSampler:
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.caps = capacities or plan_split_capacities(
-            batch_size, self.fanouts, graph.num_nodes, num_partitions
+            batch_size, self.fanouts, graph.num_nodes, num_partitions,
+            num_edges=graph.num_edges,
         )
         self.drop_last = drop_last
         self.cache = cache

@@ -107,3 +107,36 @@ def test_frame_chain_consistency(small_graph):
     self_edges = es == ed
     n_dst0 = int(b0.num_dst)
     assert np.unique(ed[self_edges]).shape[0] == n_dst0
+
+
+def test_full_neighborhood_fanout(small_graph):
+    """fanout=-1 takes the complete in-neighborhood (reference fanout=-1)."""
+    from occ_gnn_tpu.sampling.neighbor import sample_layer_edges
+
+    rng = np.random.default_rng(5)
+    frontier = np.unique(rng.integers(0, small_graph.num_nodes, 50))
+    e_dst, e_src = sample_layer_edges(small_graph, frontier, -1, rng)
+    deg = small_graph.in_degrees()[frontier]
+    counts = np.bincount(e_dst, minlength=frontier.shape[0])
+    np.testing.assert_array_equal(counts, deg + 1)
+
+
+def test_full_neighborhood_native_parity(small_graph):
+    """fanout=-1 is deterministic -> native == numpy bit-exact."""
+    from occ_gnn_tpu.data import partition_graph
+    from occ_gnn_tpu.sampling.native import NativeSplitSampler
+    from occ_gnn_tpu.sampling.slicer import SplitSampler
+
+    g = small_graph
+    pmap = partition_graph(g, 4, mode="greedy")
+    py = SplitSampler(g, g.train_nodes(), pmap, 4, [-1, -1], 16, seed=1)
+    nat = NativeSplitSampler(g, g.train_nodes(), pmap, 4, [-1, -1], 16,
+                             capacities=py.caps, seed=1, num_workers=1)
+    nodes = g.train_nodes()[:16]
+    a, b = py.sample_batch(nodes), nat.sample_batch(nodes)
+    for la, lb in zip(a.layers, b.layers):
+        np.testing.assert_array_equal(np.asarray(la.edge_src),
+                                      np.asarray(lb.edge_src))
+        np.testing.assert_array_equal(np.asarray(la.edge_dst),
+                                      np.asarray(lb.edge_dst))
+    nat.close()
