@@ -183,6 +183,75 @@ def exp4(args):
         print(f"| {m} | {c:.3f} | {s:.3f} | {k:.2f} |")
 
 
+def exp5(args):
+    """Pipeline overlap study (reference exp5: slice cost dominated the
+    epoch; here we measure how much of the host sampling+slicing cost the
+    pipelined C++ service hides behind device steps)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from occ_gnn_tpu.data import partition_graph
+    from occ_gnn_tpu.parallel.model import SplitSAGE, make_split_train_step
+    from occ_gnn_tpu.parallel.split import make_mesh
+    from occ_gnn_tpu.sampling.native import NativeSplitSampler
+    from occ_gnn_tpu.sampling.slicer import measure_split_capacities
+
+    g = _test_graph(args)
+    P = args.partitions if args.cpu else 1
+    pmap = (partition_graph(g, P, mode="greedy") if P > 1
+            else np.zeros(g.num_nodes, dtype=np.int32))
+    fanouts = [int(f) for f in args.fan_out.split(",")]
+    caps = measure_split_capacities(g, g.train_nodes(), pmap, P, fanouts,
+                                    args.batch_size, num_batches=2)
+    mesh = make_mesh(P)
+    model = SplitSAGE(g.feature_dim, 64, g.num_classes, len(fanouts))
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    ost = opt.init(params)
+    step = make_split_train_step(model, opt, mesh)
+
+    def gather(batch):
+        from occ_gnn_tpu.training import gather_features
+
+        return jnp.stack([
+            gather_features(g.features, np.asarray(batch.input_nodes)[p])
+            for p in range(P)
+        ])
+
+    def run_epoch(workers):
+        nat = NativeSplitSampler(g, g.train_nodes(), pmap, P, fanouts,
+                                 args.batch_size, capacities=caps, seed=2,
+                                 num_workers=workers, drop_last=True)
+        nonlocal params, ost
+        it = iter(nat)
+        b0 = next(it)
+        params, ost, loss, _, _ = step(params, ost, b0, gather(b0))
+        jax.block_until_ready(loss)
+        n = 0
+        t0 = time.perf_counter()
+        for b in it:
+            params, ost, loss, _, _ = step(params, ost, b, gather(b))
+            n += 1
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        nat.close()
+        return dt / max(n, 1)
+
+    serial = run_epoch(workers=1)
+    pipelined = run_epoch(workers=2)
+    rec = _record("exp5", {
+        "serial_s_per_batch": round(serial, 4),
+        "pipelined_s_per_batch": round(pipelined, 4),
+        "overlap_speedup": round(serial / pipelined, 3),
+    })
+    print("| config | s/batch |")
+    print("|---|---|")
+    print(f"| 1 worker | {serial:.4f} |")
+    print(f"| 2 workers (pipelined) | {pipelined:.4f} |")
+    print(f"| speedup | {rec['overlap_speedup']}x |")
+
+
 def exp6(args):
     """OCC (split) vs DDP vs PaGraph-cache phase table (reference exp6)."""
     from occ_gnn_tpu import train as trainer
@@ -215,7 +284,7 @@ def exp6(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser("experiments")
-    p.add_argument("exp", choices=["exp1", "exp3", "exp4", "exp6"])
+    p.add_argument("exp", choices=["exp1", "exp3", "exp4", "exp5", "exp6"])
     p.add_argument("--num-nodes", type=int, default=20000)
     p.add_argument("--avg-degree", type=int, default=10)
     p.add_argument("--feature-dim", type=int, default=64)

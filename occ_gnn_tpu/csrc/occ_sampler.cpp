@@ -23,6 +23,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -31,6 +32,12 @@
 #include <queue>
 #include <thread>
 #include <vector>
+
+#ifdef __linux__
+#include <sys/resource.h>
+#include <sys/syscall.h>
+#include <unistd.h>
+#endif
 
 namespace {
 
@@ -123,6 +130,15 @@ class BoundedQueue {
   bool closed_ = false;
 };
 
+// Phase-timer accumulators (role of the reference's enum-indexed TIMERS,
+// src/util/timer.h:7-48): nanoseconds spent sampling vs slicing across all
+// workers, plus samples produced. Read via occ_stats.
+struct Stats {
+  std::atomic<int64_t> sample_ns{0};
+  std::atomic<int64_t> slice_ns{0};
+  std::atomic<int64_t> samples{0};
+};
+
 struct XorShift {
   uint64_t s;
   explicit XorShift(uint64_t seed) : s(seed ? seed : 0x9e3779b97f4a7c15ULL) {}
@@ -136,7 +152,8 @@ struct XorShift {
 
 class Worker {
  public:
-  Worker(const Config& cfg, uint64_t seed) : cfg_(cfg), rng_(seed) {
+  Worker(const Config& cfg, uint64_t seed, Stats* stats = nullptr)
+      : cfg_(cfg), rng_(seed), stats_(stats) {
     mask_.assign(cfg.num_nodes, 0);
     dst_rank0_.clear();
     foreign_mask_.assign(cfg.P, {});
@@ -158,6 +175,7 @@ class Worker {
 
   const Config& cfg_;
   XorShift rng_;
+  Stats* stats_ = nullptr;
   std::vector<int32_t> mask_;  // global-id scratch (dedup / tail)
   std::vector<int64_t> frontier0_;
   std::vector<int32_t> f0_owner_, f0_rank_;
@@ -406,7 +424,9 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out) {
   const int P = cfg_.P;
   out->error = 0;
   out->layers.resize(cfg_.L);
+  auto t0 = std::chrono::steady_clock::now();
   sample_raw(batch);
+  auto t1 = std::chrono::steady_clock::now();
 
   const LayerSample& deepest = layers_[cfg_.L - 1];
 
@@ -460,6 +480,12 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out) {
   // Reset per-sample tail assignments.
   for (int64_t u : tail_nodes_scratch_) tail_id_[u] = -1;
   tail_nodes_scratch_.clear();
+  if (stats_) {
+    auto t2 = std::chrono::steady_clock::now();
+    stats_->sample_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(t1 - t0).count();
+    stats_->slice_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(t2 - t1).count();
+    stats_->samples += 1;
+  }
   return ok;
 }
 
@@ -469,6 +495,7 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out) {
 
 struct Service {
   Config cfg;
+  Stats stats;
   std::unique_ptr<BoundedQueue<std::vector<int64_t>*>> work;
   std::unique_ptr<BoundedQueue<Sample*>> done;
   std::vector<std::thread> threads;
@@ -491,7 +518,13 @@ struct Service {
 };
 
 void worker_main(Service* svc, int wid) {
-  Worker w(svc->cfg, svc->seed * 1000003ULL + wid + 1);
+  // Sampling runs at low priority: it pipelines ahead of the device and
+  // must never starve the runtime threads that feed the accelerator
+  // (critical on small hosts where workers could saturate every core).
+#ifdef __linux__
+  setpriority(PRIO_PROCESS, (id_t)syscall(SYS_gettid), 10);
+#endif
+  Worker w(svc->cfg, svc->seed * 1000003ULL + wid + 1, &svc->stats);
   std::vector<int64_t>* batch;
   while (svc->work->pop(&batch)) {
     if (batch->empty()) {  // shutdown sentinel (reference WorkerPool.cpp:52)
@@ -590,6 +623,14 @@ int32_t occ_next(void* handle, void** field_ptrs) {
   }
   svc->put_buffer(s);
   return err;
+}
+
+// Fill [sample_s, slice_s, samples] for phase reporting.
+void occ_stats(void* handle, double* out3) {
+  Service* svc = static_cast<Service*>(handle);
+  out3[0] = svc->stats.sample_ns.load() * 1e-9;
+  out3[1] = svc->stats.slice_ns.load() * 1e-9;
+  out3[2] = (double)svc->stats.samples.load();
 }
 
 void occ_destroy(void* handle) {

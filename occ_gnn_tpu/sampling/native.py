@@ -66,6 +66,7 @@ def load_library():
                                ctypes.c_int64]
     lib.occ_next.restype = ctypes.c_int32
     lib.occ_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.occ_stats.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.occ_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -287,6 +288,19 @@ class NativeSplitSampler:
         if self.cache is not None and hasattr(self.cache, "apply_tail"):
             self.cache.apply_tail(extra["refresh_nodes"])
         return batch
+
+    def stats(self) -> dict:
+        """Accumulated worker phase timers (reference Timer analog)."""
+        buf = np.zeros(3, dtype=np.float64)
+        self._lib.occ_stats(self._handle, buf.ctypes.data)
+        n = max(buf[2], 1.0)
+        return {
+            "sample_s_total": float(buf[0]),
+            "slice_s_total": float(buf[1]),
+            "samples": int(buf[2]),
+            "sample_s_per_batch": float(buf[0] / n),
+            "slice_s_per_batch": float(buf[1] / n),
+        }
 
     def close(self):
         if not self._closed and self._handle:
