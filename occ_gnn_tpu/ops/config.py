@@ -1,0 +1,26 @@
+"""Op-backend configuration.
+
+``use_pallas()`` selects the Pallas TPU kernels for the hot ops (sorted
+segment-sum SpMM) instead of the XLA scatter path. Opt in via
+``OCC_USE_PALLAS=1`` or ``set_use_pallas(True)``. Off by default: the XLA
+path is the reference numerics and works on every backend; flip it on
+per-deployment after validating speed on the target chip generation.
+"""
+
+from __future__ import annotations
+
+import os
+
+_use_pallas: bool | None = None
+
+
+def use_pallas() -> bool:
+    global _use_pallas
+    if _use_pallas is None:
+        _use_pallas = os.environ.get("OCC_USE_PALLAS", "0") == "1"
+    return _use_pallas
+
+
+def set_use_pallas(value: bool) -> None:
+    global _use_pallas
+    _use_pallas = bool(value)

@@ -100,6 +100,12 @@ def spmm_sum(
     msgs = x_src[edge_src]
     if edge_weight is not None:
         msgs = msgs * edge_weight.reshape((-1,) + (1,) * (msgs.ndim - 1))
+    from occ_gnn_tpu.ops.config import use_pallas
+
+    if use_pallas() and msgs.ndim == 2:
+        from occ_gnn_tpu.ops.pallas_spmm import segment_sum_sorted
+
+        return segment_sum_sorted(msgs, edge_dst, num_dst)
     return segment_sum(msgs, edge_dst, num_dst)
 
 
