@@ -52,6 +52,11 @@ def main():
         plan_split_capacities,
     )
 
+    import sys
+
+    use_bf16 = "--f32" not in sys.argv  # bf16 storage is the TPU default
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+
     P = 1  # bench hardware is one chip; the mesh path is identical
     g = random_graph(
         num_nodes=200_000, avg_degree=15, feature_dim=100, num_classes=47,
@@ -73,14 +78,14 @@ def main():
     )
     plan = CachePlan(g, pmap, P, cache_pct,
                      refresh_cap=max(caps.pop("refresh_cap", 8), 8))
-    cache = SplitFeatureCache(plan)
+    cache = SplitFeatureCache(plan, dtype=dtype)
     sampler = NativeSplitSampler(
         g, g.train_nodes(), pmap, P, fanouts, batch_size,
         capacities=caps, seed=0, cache=cache, num_workers=1, drop_last=True,
     )
 
     mesh = make_mesh(P)
-    model = SplitSAGE(g.feature_dim, 128, g.num_classes, 3)
+    model = SplitSAGE(g.feature_dim, 128, g.num_classes, 3, dtype=dtype)
     params = model.init(jax.random.PRNGKey(0))
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)

@@ -125,13 +125,17 @@ class CachePlan:
 
 
 class SplitFeatureCache:
-    """Device-side frames for the split-parallel path."""
+    """Device-side frames for the split-parallel path.
 
-    def __init__(self, plan: CachePlan, sharding=None):
+    ``dtype=jnp.bfloat16`` halves cache HBM and refresh traffic; the
+    models upcast per-gather (see parallel/split.local_aggregate)."""
+
+    def __init__(self, plan: CachePlan, sharding=None, dtype=None):
         import jax.numpy as jnp
 
         self.plan = plan
-        frames = jnp.asarray(plan.static_features())
+        self.dtype = dtype or jnp.float32
+        frames = jnp.asarray(plan.static_features()).astype(self.dtype)
         if sharding is not None:
             import jax
 
@@ -155,7 +159,7 @@ class SplitFeatureCache:
                 return frames.at[:, ts:, :].set(tail)
 
             self._update = update
-        tail = jnp.asarray(tail)
+        tail = jnp.asarray(tail).astype(self.dtype)
         if self._sharding is not None:
             tail = jax.device_put(tail, self._sharding)
         self.frames = self._update(self.frames, tail)
@@ -187,7 +191,7 @@ class SplitFeatureCache:
                 return frames.at[:, ts:, :].set(tail)
 
             self._update = update
-        t = jnp.asarray(tail)
+        t = jnp.asarray(tail).astype(self.dtype)
         if self._sharding is not None:
             t = jax.device_put(t, self._sharding)
         self.frames = self._update(self.frames, t)

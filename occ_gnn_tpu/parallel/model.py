@@ -38,14 +38,20 @@ def _unstack(tree):
 
 
 class SplitSAGE:
-    """Split-parallel GraphSAGE: h_v = W.concat(x_v, mean_{N(v)+v} x_u) + b."""
+    """Split-parallel GraphSAGE: h_v = W.concat(x_v, mean_{N(v)+v} x_u) + b.
 
-    def __init__(self, in_dim, hidden, num_classes, num_layers, dropout=0.0):
+    ``dtype`` is the activation/storage precision between layers (bf16
+    halves HBM and gather traffic); accumulation and weights stay f32.
+    """
+
+    def __init__(self, in_dim, hidden, num_classes, num_layers, dropout=0.0,
+                 dtype=jnp.float32):
         self.in_dim = in_dim
         self.hidden = hidden
         self.num_classes = num_classes
         self.num_layers = num_layers
         self.dropout = dropout
+        self.dtype = dtype
 
     def init(self, key) -> dict:
         dims = (
@@ -74,7 +80,7 @@ class SplitSAGE:
         for i, lyr in enumerate(layers):
             x = self.layer(params[f"layer_{i}"], lyr, x)
             if i != len(layers) - 1:
-                x = jax.nn.relu(x)
+                x = jax.nn.relu(x).astype(self.dtype)
         return x
 
 

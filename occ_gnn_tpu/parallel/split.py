@@ -93,9 +93,14 @@ def make_mesh(num_partitions: int, devices=None) -> jax.sharding.Mesh:
 
 
 def local_aggregate(x: jax.Array, edge_src, edge_dst, dst_cap: int):
-    """Partial neighbor SUM over this partition's edges."""
+    """Partial neighbor SUM over this partition's edges.
+
+    Accumulation is always f32; when x is stored bf16 (mixed precision)
+    the gather reads half the bytes and the upcast fuses into the scatter.
+    """
+    msgs = x[edge_src].astype(jnp.float32)
     return jax.ops.segment_sum(
-        x[edge_src], edge_dst, num_segments=dst_cap, indices_are_sorted=True
+        msgs, edge_dst, num_segments=dst_cap, indices_are_sorted=True
     )
 
 
@@ -210,6 +215,6 @@ def slice_owned(merged: jax.Array, lyr: SplitLayer, x: jax.Array):
     """
     owned_sum = merged[jnp.maximum(lyr.owned_idx, 0)]
     neigh_mean = owned_sum / lyr.owned_deg[:, None]
-    self_x = x[lyr.self_idx]
+    self_x = x[lyr.self_idx].astype(jnp.float32)
     mask = lyr.owned_mask[:, None]
     return self_x, neigh_mean, mask

@@ -56,6 +56,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "instead of worst-case planning")
     p.add_argument("--num-workers", type=int, default=2,
                    help="C++ sampler worker threads")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation/cache storage precision")
     p.add_argument("--save-dir", type=str, default="",
                    help="checkpoint directory (saves every epoch)")
     p.add_argument("--resume", type=str, default="",
@@ -126,6 +129,9 @@ def _make_model(args, g, split: bool):
     if split:
         from occ_gnn_tpu.parallel.model import SplitGAT, SplitGCN, SplitSAGE
 
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
         cls = {"sage": SplitSAGE, "gcn": SplitGCN, "gat": SplitGAT}[
             args.model_name
         ]
@@ -134,7 +140,7 @@ def _make_model(args, g, split: bool):
                        len(args.fan_out.split(",")),
                        num_heads=args.num_heads)
         return cls(g.feature_dim, args.num_hidden, g.num_classes,
-                   len(args.fan_out.split(",")))
+                   len(args.fan_out.split(",")), dtype=dtype)
     from occ_gnn_tpu.models import get_model
 
     kw = dict(dropout=args.dropout)
@@ -192,8 +198,13 @@ def train_split(args, g, fanouts, timers):
     if args.cache_per > 0:
         refresh_cap = max(caps.pop("refresh_cap", 0), 8) \
             if args.measure_caps else safe_caps["frame_caps"][0]
+        import jax.numpy as jnp
+
         plan = CachePlan(g, pmap, P, args.cache_per, refresh_cap=refresh_cap)
-        cache = SplitFeatureCache(plan)
+        cache = SplitFeatureCache(
+            plan,
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        )
     else:
         caps.pop("refresh_cap", None)
     if args.sampler == "native":

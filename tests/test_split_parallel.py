@@ -257,3 +257,28 @@ def test_split_gat_matches_single_chip(sliced):
             rtol=1e-4,
             atol=1e-4,
         )
+
+
+def test_split_bf16_training_learns(community_graph):
+    """bf16 activations/cache (f32 accumulation) must still converge."""
+    g = community_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    model = SplitSAGE(g.feature_dim, 32, g.num_classes, 2,
+                      dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    mesh = make_mesh(P)
+    step = make_split_train_step(model, opt, mesh)
+    sampler = SplitSampler(g, g.train_nodes(), pmap, P, [5, 5], 128, seed=0)
+    acc = 0.0
+    for epoch in range(4):
+        correct = total = 0
+        for batch in sampler:
+            xs = _gather_split_features(g, batch).astype(jnp.bfloat16)
+            params, opt_state, loss, c, t = step(params, opt_state, batch,
+                                                 xs)
+            correct += int(c)
+            total += int(t)
+        acc = correct / total
+    assert acc > 0.85, f"bf16 split train acc {acc}"
