@@ -3,6 +3,8 @@
 appends a JSON record to benchmarks/results/.
 
     python -m benchmarks.experiments exp1 [--cpu] ...   sampling/slicing cost
+    python -m benchmarks.experiments exp2 ...           full-graph partitioned aggregation
+    python -m benchmarks.experiments exp5 ...           pipeline overlap
     python -m benchmarks.experiments exp3 ...           cache sweep
     python -m benchmarks.experiments exp4 ...           split-benefit analytics
     python -m benchmarks.experiments exp6 ...           OCC vs baselines phases
@@ -93,6 +95,59 @@ def exp1(args):
     print(f"| numpy slice | {t_slice:.4f} |")
     print(f"| native sample+slice (incl convert) | {t_native:.4f} |")
     print(f"| native speedup | {rec['speedup']}x |")
+
+
+def exp2(args):
+    """Full-graph partitioned aggregation (reference exp2: move/aggr/merge
+    cost for full-graph 4-GPU aggregation under METIS vs naive partition).
+    Uses fanout=-1 (full neighborhood) over one layer and times the
+    sharded aggregate+shuffle step per partition mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from occ_gnn_tpu.data import partition_graph
+    from occ_gnn_tpu.parallel.model import SplitGCN, make_split_forward
+    from occ_gnn_tpu.parallel.split import make_mesh
+    from occ_gnn_tpu.sampling.slicer import SplitSampler
+    from occ_gnn_tpu.training import gather_features
+
+    g = _test_graph(args)
+    P = args.partitions
+    mesh = make_mesh(P)
+    model = SplitGCN(g.feature_dim, 32, g.num_classes, 1)
+    params = model.init(jax.random.PRNGKey(0))
+    fwd = make_split_forward(model, mesh)
+    nodes = g.train_nodes()[: args.batch_size]
+    rows = []
+    for mode in ("round_robin", "greedy"):
+        pmap = partition_graph(g, P, mode=mode, attach=False)
+        s = SplitSampler(g, g.train_nodes(), pmap, P, [-1], args.batch_size,
+                         seed=0)
+        batch = s.sample_batch(nodes)
+        xs = jnp.stack([
+            gather_features(g.features, np.asarray(batch.input_nodes)[p])
+            for p in range(P)
+        ])
+        out = fwd(params, batch, xs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fwd(params, batch, xs)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 5
+        shuffle = sum(int((np.asarray(l.push_idx) >= 0).sum())
+                      for l in batch.layers)
+        edges = sum(int((np.asarray(l.edge_dst) < l.dst_cap).sum())
+                    for l in batch.layers)
+        rows.append((mode, edges, shuffle, dt))
+    _record("exp2", {"rows": [
+        {"partition": m, "edges": e, "shuffle_rows": sh,
+         "aggr_s": round(t, 4)} for m, e, sh, t in rows
+    ]})
+    print("| partition | edges | shuffle rows | aggregate+shuffle s |")
+    print("|---|---|---|---|")
+    for m, e, sh, t in rows:
+        print(f"| {m} | {e} | {sh} | {t:.4f} |")
 
 
 def exp3(args):
@@ -284,7 +339,7 @@ def exp6(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser("experiments")
-    p.add_argument("exp", choices=["exp1", "exp3", "exp4", "exp5", "exp6"])
+    p.add_argument("exp", choices=["exp1", "exp2", "exp3", "exp4", "exp5", "exp6"])
     p.add_argument("--num-nodes", type=int, default=20000)
     p.add_argument("--avg-degree", type=int, default=10)
     p.add_argument("--feature-dim", type=int, default=64)

@@ -160,9 +160,11 @@ class SplitGAT:
         er_frame = jnp.zeros((dst_cap, k), feat.dtype)
         tgt = jnp.where(lyr.owned_idx < 0, dst_cap, lyr.owned_idx)
         er_frame = er_frame.at[tgt].set(er_own, mode="drop")
-        er_frame = reverse_shuffle(
-            er_frame, lyr.push_idx, lyr.recv_idx, dst_cap
-        )
+        multi = lyr.push_idx.shape[0] > 1  # P == 1: no foreign rows exist
+        if multi:
+            er_frame = reverse_shuffle(
+                er_frame, lyr.push_idx, lyr.recv_idx, dst_cap
+            )
         safe_dst = jnp.minimum(lyr.edge_dst, dst_cap - 1)
         scores = el[lyr.edge_src] + er_frame[safe_dst]
         scores = jax.nn.leaky_relu(scores, self.negative_slope)
@@ -184,9 +186,12 @@ class SplitGAT:
             pvals[:, :, None] * feat[lyr.edge_src],
             lyr.edge_dst, num_segments=dst_cap, indices_are_sorted=True,
         )
-        s_star, v_star = shuffle_softmax_merge(
-            m_loc, s_loc, v_loc, lyr.push_idx, lyr.recv_idx, dst_cap
-        )
+        if multi:
+            s_star, v_star = shuffle_softmax_merge(
+                m_loc, s_loc, v_loc, lyr.push_idx, lyr.recv_idx, dst_cap
+            )
+        else:
+            s_star, v_star = s_loc, v_loc
         own = jnp.maximum(lyr.owned_idx, 0)
         s_own = jnp.maximum(s_star[own], 1e-16)
         out = v_star[own] / s_own[..., None]           # [O_cap, K, D]
