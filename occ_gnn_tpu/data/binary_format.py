@@ -85,14 +85,27 @@ def read_meta(root: str, name: str) -> dict:
     return meta
 
 
-def load_graph(root: str, name: str, validate: bool = True) -> Graph:
+def load_graph(root: str, name: str, validate: bool = True,
+               mmap_features: bool = False) -> Graph:
+    """``mmap_features=True`` maps features.bin instead of reading it into
+    RAM — required at papers100M scale (111M x 128 floats), where the
+    cache layer's per-batch gathers touch only the rows it needs."""
     d = os.path.join(root, name)
     meta = read_meta(root, name)
     n, e = meta["num_nodes"], meta["num_edges"]
     indptr = np.fromfile(os.path.join(d, "indptr.bin"), dtype=np.int64)
     indices = np.fromfile(os.path.join(d, "indices.bin"), dtype=np.int64)
-    features = np.fromfile(os.path.join(d, "features.bin"), dtype=np.float32)
-    features = features.reshape(n, meta["feature_dim"])
+    if mmap_features:
+        features = np.memmap(
+            os.path.join(d, "features.bin"), dtype=np.float32, mode="r",
+            shape=(n, meta["feature_dim"]),
+        )
+        validate_features = False
+    else:
+        features = np.fromfile(
+            os.path.join(d, "features.bin"), dtype=np.float32
+        ).reshape(n, meta["feature_dim"])
+        validate_features = validate
     labels = np.fromfile(os.path.join(d, "labels.bin"), dtype=np.int32)
     if validate:
         assert indptr.shape[0] == n + 1, "indptr length mismatch"
@@ -100,10 +113,11 @@ def load_graph(root: str, name: str, validate: bool = True) -> Graph:
         assert _csum_int(indptr) == meta["csum_indptr"], "indptr checksum"
         assert _csum_int(indices) == meta["csum_edges"], "edge checksum"
         assert _csum_int(labels) == meta["csum_labels"], "label checksum"
-        got = _csum_float(features)
-        assert abs(got - meta["csum_features"]) <= 1e-3 * max(1.0, abs(got)), (
-            "feature checksum"
-        )
+        if validate_features:
+            got = _csum_float(features)
+            assert abs(got - meta["csum_features"]) <= 1e-3 * max(
+                1.0, abs(got)
+            ), "feature checksum"
     g = Graph(
         indptr=indptr,
         indices=indices,

@@ -45,7 +45,11 @@ class Graph:
     def __post_init__(self):
         self.indptr = np.ascontiguousarray(self.indptr, dtype=np.int64)
         self.indices = np.ascontiguousarray(self.indices, dtype=np.int64)
-        self.features = np.ascontiguousarray(self.features, dtype=np.float32)
+        if not isinstance(self.features, np.memmap):
+            # memmap'd features stay lazy (papers100M-scale ingest)
+            self.features = np.ascontiguousarray(
+                self.features, dtype=np.float32
+            )
         self.labels = np.ascontiguousarray(self.labels, dtype=np.int32)
         if self.partition_map is not None:
             self.partition_map = np.ascontiguousarray(

@@ -68,6 +68,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="synthetic graph size")
     p.add_argument("--avg-degree", type=int, default=10)
     p.add_argument("--feature-dim", type=int, default=128)
+    p.add_argument("--eval", action="store_true",
+                   help="evaluate on val/test masks after training")
+    p.add_argument("--mmap-features", action="store_true",
+                   help="memory-map features.bin (papers100M-scale)")
+    p.add_argument("--profile-dir", type=str, default="",
+                   help="capture a jax profiler trace of a few steps")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (virtual 8-device mesh)")
     p.add_argument("--json", action="store_true",
@@ -86,7 +92,8 @@ def resolve_graph(args):
         return random_graph(num_nodes=args.num_nodes,
                             avg_degree=args.avg_degree,
                             feature_dim=args.feature_dim, seed=args.seed)
-    return load_graph(args.data_root, args.graph)
+    return load_graph(args.data_root, args.graph,
+                      mmap_features=args.mmap_features)
 
 
 def main(argv=None):
@@ -235,6 +242,10 @@ def train_split(args, g, fanouts, timers):
     step = make_split_train_step(model, opt, mesh)
 
     acc = loss_v = 0.0
+    profiling = False
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+        profiling = True
     for epoch in range(start_epoch, args.num_epochs):
         t0 = time.perf_counter()
         correct = total = 0
@@ -257,6 +268,10 @@ def train_split(args, g, fanouts, timers):
         acc = correct / max(total, 1)
         loss_v = float(loss)
         dt = time.perf_counter() - t0
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profiler trace -> {args.profile_dir}")
         print(f"epoch {epoch}: loss={loss_v:.4f} acc={acc:.4f} "
               f"time={dt:.2f}s [{timers.summary()}]")
         timers.clear()
@@ -268,7 +283,34 @@ def train_split(args, g, fanouts, timers):
                 epoch + 1,
             )
             print(f"checkpoint -> {path}")
-    return {"mode": "split", "acc": acc, "loss": loss_v, "partitions": P}
+    out = {"mode": "split", "acc": acc, "loss": loss_v, "partitions": P}
+    if args.eval and g.val_mask is not None:
+        from occ_gnn_tpu.parallel.model import make_split_forward
+
+        fwd = make_split_forward(model, mesh)
+        for split_name, mask in (("val", g.val_mask), ("test", g.test_mask)):
+            nodes = np.nonzero(mask)[0]
+            ev = SplitSampler(g, nodes, pmap, P, fanouts, args.batch_size,
+                              capacities=caps, seed=args.seed + 7,
+                              cache=cache)
+            correct = total = 0
+            for batch in ev:
+                if cache is not None:
+                    xs = cache.frames
+                else:
+                    xs = jnp.stack([
+                        gather_features(g.features, batch.input_nodes[p])
+                        for p in range(P)
+                    ])
+                logits = fwd(params, batch, xs)
+                labels = np.asarray(batch.labels)
+                pred = np.asarray(jnp.argmax(logits, axis=-1))
+                valid = labels >= 0
+                correct += int((pred[valid] == labels[valid]).sum())
+                total += int(valid.sum())
+            out[f"{split_name}_acc"] = correct / max(total, 1)
+            print(f"{split_name} accuracy: {out[f'{split_name}_acc']:.4f}")
+    return out
 
 
 def train_ddp(args, g, fanouts, timers):
