@@ -38,7 +38,15 @@ BASELINE_EDGES_PER_S_PER_GPU = 0.99e6
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compile cache: the tunneled TPU's remote compiles are
+    # slow; pay them once across bench runs.
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
 

@@ -67,3 +67,30 @@ def test_spmm_sum_dispatches_to_pallas():
     golden = jax.ops.segment_sum(x[src], dst, num_segments=100)
     np.testing.assert_allclose(np.asarray(out), np.asarray(golden),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("E,D,H,S,cap", [
+    (3000, 700, 64, 500, 4096),
+    (100, 10, 8, 50, 256),
+    (5000, 300, 128, 400, 6000),
+])
+def test_blocked_pallas_matches_xla(E, D, H, S, cap):
+    from occ_gnn_tpu.ops.pallas_spmm_blocked import spmm_sum_blocked
+
+    x, src, dst = _case(E, D, H, S, cap)
+    out = spmm_sum_blocked(x, src, dst, D)
+    golden = jax.ops.segment_sum(x[src], dst, num_segments=D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(golden),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_blocked_pallas_grad():
+    from occ_gnn_tpu.ops.pallas_spmm_blocked import spmm_sum_blocked
+
+    x, src, dst = _case(2000, 400, 32, 300, 2048)
+    g1 = jax.grad(lambda xx: spmm_sum_blocked(xx, src, dst, 400).sum())(x)
+    g2 = jax.grad(
+        lambda xx: jax.ops.segment_sum(xx[src], dst, num_segments=400).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
+                               atol=1e-5)
