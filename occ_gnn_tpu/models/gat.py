@@ -11,7 +11,6 @@ Heads are concatenated on hidden layers and averaged on the output layer
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

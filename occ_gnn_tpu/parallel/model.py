@@ -13,7 +13,6 @@ one all_to_all over ICI.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

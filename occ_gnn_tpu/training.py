@@ -7,7 +7,6 @@ this module is the 1-chip path used by baselines and correctness tests
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
