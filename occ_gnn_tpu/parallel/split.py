@@ -68,6 +68,7 @@ class SplitBatch:
     layers: list[SplitLayer]
     input_nodes: jax.Array  # i32[P, F0_cap] global ids of layer-0 frame, pad=-1
     labels: jax.Array       # i32[P, T_cap] pad=-1
+    target_nodes: jax.Array | None = None  # i32[P, T_cap] global ids, pad=-1
 
     @property
     def num_partitions(self) -> int:

@@ -284,6 +284,7 @@ class NativeSplitSampler:
             layers=layers,
             input_nodes=jnp.asarray(extra["input_nodes"]),
             labels=jnp.asarray(labels),
+            target_nodes=jnp.asarray(targets),
         )
         if self.cache is not None and hasattr(self.cache, "apply_tail"):
             self.cache.apply_tail(extra["refresh_nodes"])

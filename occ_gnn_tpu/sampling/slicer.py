@@ -229,10 +229,17 @@ class SplitSampler:
                 for p in range(P)
             ]
         )
+        target_nodes = np.stack(
+            [
+                pad_to(targets[towner == p].astype(np.int32), t_cap, -1)
+                for p in range(P)
+            ]
+        )
         return SplitBatch(
             layers=layers,
             input_nodes=jnp.asarray(input_nodes),
             labels=jnp.asarray(labels),
+            target_nodes=jnp.asarray(target_nodes),
         )
 
     def _slice_layer(

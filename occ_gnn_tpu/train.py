@@ -33,7 +33,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--graph", type=str, required=True)
     p.add_argument("--data-root", type=str, default="./data")
     p.add_argument("--mode", type=str, default="split",
-                   choices=["split", "single", "ddp", "pa-cache"])
+                   choices=["split", "single", "ddp", "pa-cache", "infer"])
     p.add_argument("--model-name", type=str, default="sage",
                    choices=["sage", "gcn", "gat"])
     p.add_argument("--cache-per", type=float, default=0.0)
@@ -63,6 +63,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="checkpoint directory (saves every epoch)")
     p.add_argument("--resume", type=str, default="",
                    help="checkpoint file to resume from")
+    p.add_argument("--infer-nodes", type=str, default="test",
+                   choices=["train", "val", "test", "all"],
+                   help="node set for --mode infer")
+    p.add_argument("--output", type=str, default="",
+                   help="write predictions (npy) for --mode infer")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-nodes", type=int, default=10000,
                    help="synthetic graph size")
@@ -120,7 +125,9 @@ def main(argv=None):
     timers = PhaseTimers()
     metrics = {}
 
-    if args.mode == "split":
+    if args.mode == "infer":
+        metrics = run_infer(args, g, fanouts, timers)
+    elif args.mode == "split":
         metrics = train_split(args, g, fanouts, timers)
     elif args.mode == "ddp":
         metrics = train_ddp(args, g, fanouts, timers)
@@ -155,6 +162,68 @@ def _make_model(args, g, split: bool):
         kw["num_heads"] = args.num_heads
     return get_model(args.model_name, g.feature_dim, args.num_hidden,
                      g.num_classes, len(args.fan_out.split(",")), **kw)
+
+
+def run_infer(args, g, fanouts, timers):
+    """Sharded inference: load a checkpoint, forward over the requested
+    node set, report accuracy and optionally dump per-node predictions.
+    (The reference explicitly raised NotImplemented on inference,
+    models/sage.py:40-41 — this completes the serving story.)"""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from occ_gnn_tpu.data import partition_graph
+    from occ_gnn_tpu.parallel.model import make_split_forward
+    from occ_gnn_tpu.parallel.split import make_mesh
+    from occ_gnn_tpu.sampling.slicer import SplitSampler
+    from occ_gnn_tpu.training import gather_features
+    from occ_gnn_tpu.utils.checkpoint import load_checkpoint
+
+    if not args.resume:
+        raise SystemExit("--mode infer requires --resume <checkpoint>")
+    P = args.partitions or len(jax.devices())
+    pmap = (g.partition_map
+            if g.partition_map is not None and g.partition_map.max() == P - 1
+            else partition_graph(g, P, mode=args.partition_mode))
+    mesh = make_mesh(P)
+    model = _make_model(args, g, split=True)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    opt = optax.adam(args.lr)
+    params, _, epoch = load_checkpoint(args.resume, params, opt.init(params))
+    print(f"loaded {args.resume} (epoch {epoch})")
+
+    masks = {"train": g.train_mask, "val": g.val_mask, "test": g.test_mask}
+    if args.infer_nodes == "all":
+        nodes = np.arange(g.num_nodes, dtype=np.int64)
+    else:
+        nodes = np.nonzero(masks[args.infer_nodes])[0]
+    sampler = SplitSampler(g, nodes, pmap, P, fanouts, args.batch_size,
+                           seed=args.seed)
+    fwd = make_split_forward(model, mesh)
+    preds = np.full(g.num_nodes, -1, dtype=np.int32)
+    correct = total = 0
+    for batch in sampler:
+        with timers.phase("infer_step"):
+            xs = jnp.stack([
+                gather_features(g.features, batch.input_nodes[p])
+                for p in range(P)
+            ])
+            logits = np.asarray(fwd(params, batch, xs))
+        labels = np.asarray(batch.labels)
+        tgt = np.asarray(batch.target_nodes)
+        pred = logits.argmax(-1)
+        valid = labels >= 0
+        preds[tgt[valid]] = pred[valid]
+        correct += int((pred[valid] == labels[valid]).sum())
+        total += int(valid.sum())
+    acc = correct / max(total, 1)
+    print(f"infer accuracy ({args.infer_nodes}): {acc:.4f} over {total}")
+    out = {"mode": "infer", "acc": acc, "count": total}
+    if args.output:
+        np.save(args.output, preds)
+        out["output"] = args.output
+    return out
 
 
 def train_split(args, g, fanouts, timers):

@@ -55,3 +55,15 @@ def test_cli_binary_dataset_with_mmap(tmp_path):
                       "--batch-size", "128", "--num-hidden", "16",
                       "--num-epochs", "1", "--cpu", "--mmap-features"])
     assert np.isfinite(m["loss"])
+
+
+def test_cli_infer_roundtrip(tmp_path):
+    trainer.main(COMMON + ["--mode", "split", "--save-dir", str(tmp_path),
+                           "--seed", "3"])
+    out = str(tmp_path / "preds.npy")
+    m = trainer.main(COMMON + ["--mode", "infer", "--seed", "3",
+                               "--resume", f"{tmp_path}/split_epoch.npz",
+                               "--infer-nodes", "test", "--output", out])
+    assert m["acc"] > 0.5
+    preds = np.load(out)
+    assert (preds >= 0).sum() == m["count"]
