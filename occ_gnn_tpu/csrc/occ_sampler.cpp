@@ -93,6 +93,7 @@ struct Sample {
   std::vector<int32_t> targets;        // [P * T_cap], pad -1
   std::vector<int32_t> refresh_nodes;  // [P * refresh_cap], pad -1
   int32_t error = 0;  // 0 ok; >0 capacity overflow code
+  int64_t seq = -1;   // submission sequence number (ordered delivery)
 };
 
 template <typename T>
@@ -153,7 +154,7 @@ struct XorShift {
 class Worker {
  public:
   Worker(const Config& cfg, uint64_t seed, Stats* stats = nullptr)
-      : cfg_(cfg), rng_(seed), stats_(stats) {
+      : cfg_(cfg), rng_(seed), seed_base_(seed), stats_(stats) {
     mask_.assign(cfg.num_nodes, 0);
     dst_rank0_.clear();
     foreign_mask_.assign(cfg.P, {});
@@ -166,8 +167,10 @@ class Worker {
   }
 
   // Sample + slice one batch into `out`. Returns false on overflow (error
-  // code is set in out->error).
-  bool process(const std::vector<int64_t>& batch, Sample* out);
+  // code is set in out->error). The RNG is re-seeded from (base_seed, seq)
+  // so a batch's content is independent of WHICH worker processed it —
+  // required for deterministic multi-host replicated sampling.
+  bool process(const std::vector<int64_t>& batch, Sample* out, int64_t seq);
 
  private:
   void sample_raw(const std::vector<int64_t>& batch);
@@ -175,6 +178,7 @@ class Worker {
 
   const Config& cfg_;
   XorShift rng_;
+  uint64_t seed_base_ = 0;
   Stats* stats_ = nullptr;
   std::vector<int32_t> mask_;  // global-id scratch (dedup / tail)
   std::vector<int64_t> frontier0_;
@@ -420,8 +424,11 @@ bool Worker::slice_layer(int l, Sample* out) {
   return true;
 }
 
-bool Worker::process(const std::vector<int64_t>& batch, Sample* out) {
+bool Worker::process(const std::vector<int64_t>& batch, Sample* out,
+                     int64_t seq) {
   const int P = cfg_.P;
+  rng_ = XorShift(seed_base_ * 0x9e3779b97f4a7c15ULL ^
+                  (uint64_t)(seq + 1) * 0xbf58476d1ce4e5b9ULL);
   out->error = 0;
   out->layers.resize(cfg_.L);
   auto t0 = std::chrono::steady_clock::now();
@@ -493,10 +500,15 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out) {
 // Service: producer (epoch batches) + worker threads + output queue.
 // ---------------------------------------------------------------------------
 
+struct WorkItem {
+  int64_t seq;
+  std::vector<int64_t>* nodes;
+};
+
 struct Service {
   Config cfg;
   Stats stats;
-  std::unique_ptr<BoundedQueue<std::vector<int64_t>*>> work;
+  std::unique_ptr<BoundedQueue<WorkItem>> work;
   std::unique_ptr<BoundedQueue<Sample*>> done;
   std::vector<std::thread> threads;
   std::vector<Sample*> pool;
@@ -524,16 +536,19 @@ void worker_main(Service* svc, int wid) {
 #ifdef __linux__
   setpriority(PRIO_PROCESS, (id_t)syscall(SYS_gettid), 10);
 #endif
-  Worker w(svc->cfg, svc->seed * 1000003ULL + wid + 1, &svc->stats);
-  std::vector<int64_t>* batch;
-  while (svc->work->pop(&batch)) {
-    if (batch->empty()) {  // shutdown sentinel (reference WorkerPool.cpp:52)
-      delete batch;
+  // All workers share the same seed base: batch content is a function of
+  // (seed, seq), never of worker identity.
+  Worker w(svc->cfg, svc->seed, &svc->stats);
+  WorkItem item;
+  while (svc->work->pop(&item)) {
+    if (item.nodes->empty()) {  // shutdown sentinel (WorkerPool.cpp:52)
+      delete item.nodes;
       break;
     }
     Sample* s = svc->get_buffer();
-    w.process(*batch, s);
-    delete batch;
+    w.process(*item.nodes, s, item.seq);
+    s->seq = item.seq;
+    delete item.nodes;
     svc->done->push(s);
   }
 }
@@ -571,7 +586,7 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
   c.tail_start = tail_start;
   c.refresh_cap = refresh_cap;
   svc->seed = seed;
-  svc->work = std::make_unique<BoundedQueue<std::vector<int64_t>*>>(
+  svc->work = std::make_unique<BoundedQueue<WorkItem>>(
       queue_depth > 0 ? queue_depth : 4);
   svc->done = std::make_unique<BoundedQueue<Sample*>>(
       queue_depth > 0 ? queue_depth : 4);
@@ -580,21 +595,24 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
   return svc;
 }
 
-// Enqueue one batch of target node ids.
-void occ_submit(void* handle, const int64_t* nodes, int64_t n) {
+// Enqueue one batch of target node ids tagged with a sequence number;
+// occ_next reports the tag so Python delivers samples in submission order
+// (required for deterministic multi-host replicated sampling).
+void occ_submit(void* handle, const int64_t* nodes, int64_t n, int64_t seq) {
   Service* svc = static_cast<Service*>(handle);
-  svc->work->push(new std::vector<int64_t>(nodes, nodes + n));
+  svc->work->push({seq, new std::vector<int64_t>(nodes, nodes + n)});
 }
 
 // Blocking: pop one finished sample and copy it into caller buffers.
 // `field_ptrs` order: per layer l in [0,L): edge_src, edge_dst, push, recv,
 // owned_idx, owned_deg(float), self_idx, owned_mask(uint8), num_owned;
 // then input_nodes, targets, refresh_nodes. Returns error code (0 = ok).
-int32_t occ_next(void* handle, void** field_ptrs) {
+int32_t occ_next(void* handle, void** field_ptrs, int64_t* seq_out) {
   Service* svc = static_cast<Service*>(handle);
   Sample* s;
   if (!svc->done->pop(&s)) return -1;
   const Config& c = svc->cfg;
+  if (seq_out) *seq_out = s->seq;
   int32_t err = s->error;
   if (err == 0) {
     int f = 0;
@@ -640,7 +658,7 @@ void occ_destroy(void* handle) {
   // output queue).
   svc->done->close();
   for (size_t i = 0; i < svc->threads.size(); i++)
-    svc->work->push(new std::vector<int64_t>());  // sentinels
+    svc->work->push({-1, new std::vector<int64_t>()});  // sentinels
   for (auto& t : svc->threads) t.join();
   svc->work->close();
   Sample* s;

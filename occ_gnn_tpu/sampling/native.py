@@ -63,9 +63,10 @@ def load_library():
         ctypes.c_uint64,  # seed
     ]
     lib.occ_submit.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                               ctypes.c_int64]
+                               ctypes.c_int64, ctypes.c_int64]
     lib.occ_next.restype = ctypes.c_int32
-    lib.occ_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.occ_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                             ctypes.c_void_p]
     lib.occ_stats.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.occ_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -171,6 +172,9 @@ class NativeSplitSampler:
         )
         self._lib = lib
         self._closed = False
+        self._next_submit_seq = 0
+        self._next_deliver_seq = 0
+        self._reorder: dict[int, SplitBatch] = {}
 
     # -- epoch iteration ---------------------------------------------------
 
@@ -189,9 +193,7 @@ class NativeSplitSampler:
         bs = self.batch_size
         for b in range(total):
             batch = np.ascontiguousarray(nodes[b * bs : (b + 1) * bs])
-            self._lib.occ_submit(
-                self._handle, batch.ctypes.data, batch.shape[0]
-            )
+            self._submit(batch)
             pending += 1
             submitted += 1
             # keep the pipeline primed but bounded
@@ -205,8 +207,13 @@ class NativeSplitSampler:
 
     def sample_batch(self, batch: np.ndarray) -> SplitBatch:
         batch = np.ascontiguousarray(batch, dtype=np.int64)
-        self._lib.occ_submit(self._handle, batch.ctypes.data, batch.shape[0])
+        self._submit(batch)
         return self._pop()
+
+    def _submit(self, batch: np.ndarray):
+        self._lib.occ_submit(self._handle, batch.ctypes.data,
+                             batch.shape[0], self._next_submit_seq)
+        self._next_submit_seq += 1
 
     # -- internals ---------------------------------------------------------
 
@@ -237,6 +244,22 @@ class NativeSplitSampler:
         return fields, extra
 
     def _pop(self) -> SplitBatch:
+        """Deliver samples in SUBMISSION order: multi-worker completion is
+        unordered, but multi-host replicated sampling (and reproducibility
+        in general) needs host-side order — out-of-order arrivals are
+        buffered until their turn."""
+        want = self._next_deliver_seq
+        self._next_deliver_seq += 1
+        while want not in self._reorder:
+            seq, batch = self._pop_any()
+            self._reorder[seq] = batch
+        batch = self._reorder.pop(want)
+        if self.cache is not None and hasattr(self.cache, "apply_tail"):
+            self.cache.apply_tail(batch._refresh_nodes)
+        del batch._refresh_nodes
+        return batch
+
+    def _pop_any(self):
         import jax.numpy as jnp
 
         fields, extra = self._alloc_fields()
@@ -250,7 +273,8 @@ class NativeSplitSampler:
         ptrs.append(extra["targets"].ctypes.data)
         ptrs.append(extra["refresh_nodes"].ctypes.data)
         arr = (ctypes.c_void_p * len(ptrs))(*ptrs)
-        err = self._lib.occ_next(self._handle, arr)
+        seq = ctypes.c_int64(-1)
+        err = self._lib.occ_next(self._handle, arr, ctypes.byref(seq))
         if err != 0:
             raise ValueError(
                 f"native slicer error: {_ERRORS.get(err, err)} — raise the "
@@ -286,9 +310,10 @@ class NativeSplitSampler:
             labels=jnp.asarray(labels),
             target_nodes=jnp.asarray(targets),
         )
-        if self.cache is not None and hasattr(self.cache, "apply_tail"):
-            self.cache.apply_tail(extra["refresh_nodes"])
-        return batch
+        # Cache tails are applied at DELIVERY time (in _pop), preserving
+        # per-batch frame pairing under reordering.
+        batch._refresh_nodes = extra["refresh_nodes"]
+        return seq.value, batch
 
     def stats(self) -> dict:
         """Accumulated worker phase timers (reference Timer analog)."""

@@ -53,3 +53,81 @@ def test_multihost_sampler_trains(small_graph):
     params, opt_state, loss, correct, cnt = step(params, opt_state, batch, xs)
     assert np.isfinite(float(loss))
     assert int(cnt) > 0
+
+
+def test_replicated_sampling_is_deterministic(small_graph):
+    """The multihost design rests on this: two sampler replicas with the
+    same seed must produce IDENTICAL batches with no communication."""
+    g = small_graph
+    pmap = partition_graph(g, P, mode="greedy")
+
+    def run():
+        s = SplitSampler(g, g.train_nodes(), pmap, P, [4, 3], 64, seed=11)
+        out = []
+        for batch in s:
+            out.append(batch)
+        return out
+
+    a, b = run(), run()
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        for la, lb in zip(ba.layers, bb.layers):
+            np.testing.assert_array_equal(np.asarray(la.edge_src),
+                                          np.asarray(lb.edge_src))
+            np.testing.assert_array_equal(np.asarray(la.edge_dst),
+                                          np.asarray(lb.edge_dst))
+        np.testing.assert_array_equal(np.asarray(ba.labels),
+                                      np.asarray(bb.labels))
+
+
+def test_native_replicated_sampling_deterministic(small_graph):
+    """Same invariant for the C++ service (deterministic at fanout >= max
+    degree; per-batch RNG is seeded identically across replicas)."""
+    from occ_gnn_tpu.sampling.native import NativeSplitSampler
+
+    g = small_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    fan = int(g.in_degrees().max())
+
+    def run(workers):
+        s = NativeSplitSampler(g, g.train_nodes(), pmap, P, [fan], 64,
+                               seed=11, num_workers=workers)
+        out = [b for b in s]
+        s.close()
+        return out
+
+    # 1 worker vs 2 workers: samples must arrive in submission order
+    # regardless of completion order (the reorder buffer guarantees it).
+    a, b = run(1), run(2)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ba.labels),
+                                      np.asarray(bb.labels))
+        np.testing.assert_array_equal(
+            np.asarray(ba.layers[0].edge_src),
+            np.asarray(bb.layers[0].edge_src),
+        )
+
+
+def test_native_random_sampling_worker_independent(small_graph):
+    """With RANDOM fanouts (fanout < degree), batch content must still be
+    identical across runs with different worker counts: the RNG is seeded
+    per (service seed, batch seq), not per worker."""
+    from occ_gnn_tpu.sampling.native import NativeSplitSampler
+
+    g = small_graph
+    pmap = partition_graph(g, P, mode="greedy")
+
+    def run(workers):
+        s = NativeSplitSampler(g, g.train_nodes(), pmap, P, [2, 2], 64,
+                               seed=13, num_workers=workers)
+        out = [b for b in s]
+        s.close()
+        return out
+
+    a, b = run(1), run(2)
+    for ba, bb in zip(a, b):
+        for la, lb in zip(ba.layers, bb.layers):
+            np.testing.assert_array_equal(np.asarray(la.edge_src),
+                                          np.asarray(lb.edge_src))
+            np.testing.assert_array_equal(np.asarray(la.edge_dst),
+                                          np.asarray(lb.edge_dst))
