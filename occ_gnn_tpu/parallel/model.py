@@ -121,7 +121,7 @@ class SplitGAT:
 
     def __init__(self, in_dim, hidden, num_classes, num_layers,
                  num_heads: int = 4, negative_slope: float = 0.2,
-                 dropout: float = 0.0):
+                 dropout: float = 0.0, dtype=jnp.float32):
         self.in_dim = in_dim
         self.hidden = hidden
         self.num_classes = num_classes
@@ -129,6 +129,7 @@ class SplitGAT:
         self.num_heads = num_heads
         self.negative_slope = negative_slope
         self.dropout = dropout
+        self.dtype = dtype
 
     def init(self, key) -> dict:
         h, c, k = self.hidden, self.num_classes, self.num_heads
@@ -204,7 +205,7 @@ class SplitGAT:
         for i, lyr in enumerate(layers):
             x = self.layer(params[f"layer_{i}"], lyr, x, is_last=(i == n - 1))
             if i != n - 1:
-                x = jax.nn.elu(x)
+                x = jax.nn.elu(x).astype(self.dtype)
         return x
 
 

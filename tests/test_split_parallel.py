@@ -282,3 +282,42 @@ def test_split_bf16_training_learns(community_graph):
             total += int(t)
         acc = correct / total
     assert acc > 0.85, f"bf16 split train acc {acc}"
+
+
+def test_slicer_skewed_batch_single_partition(small_graph):
+    """A batch whose targets all live in ONE partition still slices and
+    runs (other partitions have zero owned nodes in the outer layer)."""
+    g = small_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    own0 = np.nonzero(pmap == 0)[0][:24]
+    sampler = SplitSampler(g, g.train_nodes(), pmap, P, [3, 3], 24, seed=9)
+    batch = sampler.sample_batch(own0)
+    num_owned = np.asarray(batch.layers[-1].num_owned)
+    assert num_owned[0] == own0.shape[0]
+    assert num_owned[1:].sum() == 0
+    mesh = make_mesh(P)
+    model = SplitSAGE(g.feature_dim, 8, g.num_classes, 2)
+    params = model.init(jax.random.PRNGKey(4))
+    fwd = make_split_forward(model, mesh)
+    xs = _gather_split_features(g, batch)
+    logits = np.asarray(fwd(params, batch, xs))
+    assert np.isfinite(logits[0, : int(num_owned[0])]).all()
+
+
+def test_slicer_isolated_nodes():
+    """Nodes with zero in-degree sample only their self loop."""
+    from occ_gnn_tpu.data.graph import from_edge_list
+
+    n = 64
+    # only nodes 0..9 have edges; the rest are isolated
+    src = np.arange(10)
+    dst = (np.arange(10) + 1) % 10
+    feats = np.random.default_rng(0).standard_normal((n, 8)).astype(np.float32)
+    labels = np.zeros(n, np.int32)
+    g = from_edge_list(src, dst, n, feats, labels, 2)
+    pmap = (np.arange(n) % P).astype(np.int32)
+    sampler = SplitSampler(g, np.arange(n), pmap, P, [3], 32, seed=0)
+    batch = sampler.sample_batch(np.arange(32))
+    deg = np.asarray(batch.layers[0].owned_deg)
+    mask = np.asarray(batch.layers[0].owned_mask)
+    assert (deg[mask] >= 1).all()  # every node has at least the self loop
