@@ -63,6 +63,7 @@ struct Config {
   int64_t tail_start = 0;
   int64_t refresh_cap = 0;
   int64_t cache_frame_cap = 0;
+  int32_t sample_replace = 1;  // 1: rand%deg (reference slicer.cpp); 0: DGL
 };
 
 struct Edge {
@@ -227,6 +228,7 @@ void Worker::sample_raw(const std::vector<int64_t>& batch) {
       ls.frame_rank.push_back(owner_cnt[p]++);
     }
     int fanout = cfg_.fanouts[d];
+    int64_t chosen[64];  // without-replacement scratch (fanout <= 64)
     for (int64_t i = 0; i < n; i++) {
       int64_t v = frontier[i];
       // self loop first (mask already set: src_pos = i)
@@ -236,6 +238,35 @@ void Worker::sample_raw(const std::vector<int64_t>& batch) {
       int64_t off = cfg_.indptr[v];
       // fanout < 0 means full neighborhood (reference fanout=-1)
       int64_t take = (fanout < 0 || deg <= fanout) ? deg : fanout;
+      bool subsample = take != deg;
+      if (subsample && !cfg_.sample_replace && fanout <= 64) {
+        // Floyd's algorithm: `fanout` distinct offsets from [0, deg)
+        // (DGL sample_neighbors semantics; membership scan is O(fanout)).
+        int64_t nc = 0;
+        for (int64_t j = deg - fanout; j < deg; j++) {
+          int64_t t = (int64_t)(rng_.next() % (uint64_t)(j + 1));
+          bool seen = false;
+          for (int64_t k = 0; k < nc; k++)
+            if (chosen[k] == t) { seen = true; break; }
+          chosen[nc++] = seen ? j : t;
+        }
+        for (int64_t j = 0; j < nc; j++) {
+          int64_t u = cfg_.indices[off + chosen[j]];
+          int32_t pos = mask_[u];
+          if (pos == 0) {
+            ls.frame.push_back(u);
+            pos = (int32_t)ls.frame.size();
+            mask_[u] = pos;
+            int32_t pp = cfg_.wmap[u];
+            ls.frame_owner.push_back(pp);
+            ls.frame_rank.push_back(owner_cnt[pp]++);
+          }
+          ls.edges.push_back({(int32_t)i, pos - 1});
+          c++;
+        }
+        ls.counts[i] = c;
+        continue;
+      }
       for (int64_t j = 0; j < take; j++) {
         int64_t u = (take == deg)
                         ? cfg_.indices[off + j]
@@ -564,7 +595,8 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
                  const int64_t* out_caps, const int64_t* shuffle_caps,
                  const uint8_t* static_mask, const int32_t* static_g2l,
                  int64_t tail_start, int64_t refresh_cap, int32_t num_workers,
-                 int32_t queue_depth, uint64_t seed) {
+                 int32_t queue_depth, uint64_t seed,
+                 int32_t sample_replace) {
   Service* svc = new Service();
   Config& c = svc->cfg;
   c.num_nodes = num_nodes;
@@ -585,6 +617,7 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
   c.static_g2l = static_g2l;
   c.tail_start = tail_start;
   c.refresh_cap = refresh_cap;
+  c.sample_replace = sample_replace;
   svc->seed = seed;
   svc->work = std::make_unique<BoundedQueue<WorkItem>>(
       queue_depth > 0 ? queue_depth : 4);

@@ -61,6 +61,7 @@ def load_library():
         ctypes.c_int32,  # num_workers
         ctypes.c_int32,  # queue_depth
         ctypes.c_uint64,  # seed
+        ctypes.c_int32,  # sample_replace
     ]
     lib.occ_submit.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                ctypes.c_int64, ctypes.c_int64]
@@ -101,6 +102,7 @@ class NativeSplitSampler:
         cache=None,
         num_workers: int = 2,
         queue_depth: int = 4,
+        replace: bool = True,
     ):
         self.graph = graph
         self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
@@ -169,6 +171,7 @@ class NativeSplitSampler:
             num_workers,
             queue_depth,
             seed + 1,
+            1 if replace else 0,
         )
         self._lib = lib
         self._closed = False

@@ -56,16 +56,20 @@ def plan_capacities(
 
 
 def sample_layer_edges(
-    graph: Graph, frontier: np.ndarray, fanout: int, rng: np.random.Generator
+    graph: Graph, frontier: np.ndarray, fanout: int,
+    rng: np.random.Generator, replace: bool = True
 ):
     """Sample in-edges for each frontier node; returns (dst_local, src_global).
 
     Edge order is dst-major: for each frontier node, a self-loop edge first
     (reference appends self loops, sampler.py:202-203), then its sampled
-    neighbors (all of them when degree <= fanout, else ``fanout`` draws with
-    replacement — reference slicer.cpp:6-22). The dst-major order means the
-    per-partition edge streams the slicer emits are already sorted, and the
-    C++ service (csrc/) reproduces the exact same order for parity tests.
+    neighbors — all of them when degree <= fanout, else ``fanout`` draws.
+    ``replace=True`` matches the reference's C++ slicer (slicer.cpp:6-22,
+    rand % deg); ``replace=False`` matches DGL ``sample_neighbors``
+    semantics (the reference's Python path). The dst-major order means the
+    per-partition edge streams the slicer emits are already sorted, and
+    the C++ service (csrc/) reproduces the exact same order for parity
+    tests.
     """
     indptr, indices = graph.indptr, graph.indices
     n = frontier.shape[0]
@@ -92,8 +96,19 @@ def sample_layer_edges(
     e_src_tail[small_edge] = indices[offs[node[small_edge]] + j[small_edge]]
     lg = ~small_edge
     if lg.any():
-        draws = rng.integers(0, deg[node[lg]])
-        e_src_tail[lg] = indices[offs[node[lg]] + draws]
+        if replace:
+            draws = rng.integers(0, deg[node[lg]])
+            e_src_tail[lg] = indices[offs[node[lg]] + draws]
+        else:
+            # Without replacement per dst: pick the fanout smallest random
+            # keys among each node's neighbors (vectorized over the unique
+            # large-degree nodes).
+            lg_nodes = np.unique(node[lg])
+            for nd in lg_nodes:
+                d = deg[nd]
+                sel = rng.permutation(d)[:fanout]
+                rows = lg & (node == nd)
+                e_src_tail[rows] = indices[offs[nd] + sel]
     e_src[tail] = e_src_tail
     return e_dst, e_src
 
@@ -128,11 +143,13 @@ class NeighborSampler:
         capacities: dict | None = None,
         seed: int = 0,
         drop_last: bool = False,
+        replace: bool = True,
     ):
         self.graph = graph
         self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
         self.fanouts = list(fanouts)
         self.batch_size = batch_size
+        self.replace = replace
         self.rng = np.random.default_rng(seed)
         self.caps = capacities or plan_capacities(
             batch_size, self.fanouts, graph.num_nodes,
@@ -165,7 +182,9 @@ class NeighborSampler:
         frames = [frontier]
         raw_blocks = []  # outermost-first (dst_local, src_local, frame sizes)
         for l, fanout in enumerate(self.fanouts):
-            e_dst, e_src_global = sample_layer_edges(g, frontier, fanout, self.rng)
+            e_dst, e_src_global = sample_layer_edges(
+                g, frontier, fanout, self.rng, replace=self.replace
+            )
             new_frame, uniq, rank = dedup_first_occurrence(frontier, e_src_global)
             e_src = rank[np.searchsorted(uniq, e_src_global)]
             raw_blocks.append((e_dst, e_src, frontier.shape[0], new_frame.shape[0]))

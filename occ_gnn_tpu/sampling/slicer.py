@@ -129,6 +129,7 @@ class SplitSampler:
         seed: int = 0,
         drop_last: bool = False,
         cache=None,
+        replace: bool = True,
     ):
         """``cache`` is an optional SplitFeatureCache (or bare CachePlan):
         when given, the innermost layer is sliced cache-aware — edges whose
@@ -150,6 +151,7 @@ class SplitSampler:
             num_edges=graph.num_edges,
         )
         self.drop_last = drop_last
+        self.replace = replace
         self.cache = cache
         self.cache_plan = getattr(cache, "plan", cache)
 
@@ -173,7 +175,8 @@ class SplitSampler:
         raw = []
         for fanout in self.fanouts:
             e_dst, e_src_global = sample_layer_edges(
-                self.graph, frontier, fanout, self.rng
+                self.graph, frontier, fanout, self.rng,
+                replace=self.replace,
             )
             frame, uniq, rank = dedup_first_occurrence(frontier, e_src_global)
             raw.append(

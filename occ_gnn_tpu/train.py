@@ -56,6 +56,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "instead of worst-case planning")
     p.add_argument("--num-workers", type=int, default=2,
                    help="C++ sampler worker threads")
+    p.add_argument("--sample-without-replacement", action="store_true",
+                   help="DGL sample_neighbors semantics instead of the "
+                        "reference slicer's with-replacement draws")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation/cache storage precision")
@@ -290,11 +293,13 @@ def train_split(args, g, fanouts, timers):
             g, g.train_nodes(), pmap, P, fanouts, args.batch_size,
             capacities=caps, seed=args.seed, cache=cache,
             num_workers=args.num_workers,
+            replace=not args.sample_without_replacement,
         )
     else:
         sampler = SplitSampler(g, g.train_nodes(), pmap, P, fanouts,
                                args.batch_size, capacities=caps,
-                               seed=args.seed, cache=cache)
+                               seed=args.seed, cache=cache,
+                               replace=not args.sample_without_replacement)
 
     model = _make_model(args, g, split=True)
     params = model.init(jax.random.PRNGKey(args.seed))

@@ -140,3 +140,55 @@ def test_full_neighborhood_native_parity(small_graph):
         np.testing.assert_array_equal(np.asarray(la.edge_dst),
                                       np.asarray(lb.edge_dst))
     nat.close()
+
+
+def _simple_graph(src_graph):
+    """Deduplicate parallel edges (the random generator is a multigraph;
+    without-replacement draws are distinct CSR slots, which only maps to
+    distinct neighbors on a simple graph)."""
+    from occ_gnn_tpu.data.graph import from_edge_list
+
+    g = src_graph
+    dst = np.repeat(np.arange(g.num_nodes), g.in_degrees())
+    pairs = np.unique(np.stack([g.indices, dst]), axis=1)
+    return from_edge_list(pairs[0], pairs[1], g.num_nodes, g.features,
+                          g.labels, g.num_classes)
+
+
+def test_without_replacement_sampling(small_graph):
+    """replace=False draws distinct neighbors (DGL semantics)."""
+    from occ_gnn_tpu.sampling.neighbor import sample_layer_edges
+
+    g = _simple_graph(small_graph)
+    rng = np.random.default_rng(7)
+    deg = g.in_degrees()
+    frontier = np.nonzero(deg > 4)[0][:40]
+    fanout = 3
+    e_dst, e_src = sample_layer_edges(g, frontier, fanout, rng,
+                                      replace=False)
+    counts = np.bincount(e_dst, minlength=frontier.shape[0])
+    np.testing.assert_array_equal(counts, np.minimum(deg[frontier], fanout) + 1)
+    for i in range(frontier.shape[0]):
+        srcs = e_src[e_dst == i][1:]  # skip self loop
+        assert np.unique(srcs).shape[0] == srcs.shape[0], "duplicate draw"
+
+
+def test_native_without_replacement(small_graph):
+    """C++ replace=False: per-dst sampled neighbors are distinct."""
+    from occ_gnn_tpu.data import partition_graph
+    from occ_gnn_tpu.sampling.native import NativeSplitSampler
+
+    g = _simple_graph(small_graph)
+    pmap = partition_graph(g, 1, mode="round_robin", attach=False)
+    s = NativeSplitSampler(g, np.arange(g.num_nodes), pmap, 1, [3], 64,
+                           seed=5, num_workers=1, replace=False)
+    b = s.sample_batch(np.arange(64))
+    lyr = b.layers[0]
+    es = np.asarray(lyr.edge_src)[0]
+    ed = np.asarray(lyr.edge_dst)[0]
+    valid = ed < lyr.dst_cap
+    es, ed = es[valid], ed[valid]
+    for d in np.unique(ed):
+        srcs = es[ed == d]
+        assert np.unique(srcs).shape[0] == srcs.shape[0]
+    s.close()
