@@ -66,9 +66,11 @@ def main():
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
 
     P = 1  # bench hardware is one chip; the mesh path is identical
+    num_nodes = int(os.environ.get("OCC_BENCH_NODES", 200_000))
+    avg_degree = int(os.environ.get("OCC_BENCH_DEGREE", 15))
     g = random_graph(
-        num_nodes=200_000, avg_degree=15, feature_dim=100, num_classes=47,
-        seed=0,
+        num_nodes=num_nodes, avg_degree=avg_degree, feature_dim=100,
+        num_classes=47, seed=0,
     )
     pmap = np.zeros(g.num_nodes, dtype=np.int32)
     fanouts = [10, 10, 25]
