@@ -21,13 +21,16 @@ edge chunks:
 Cost: 2*TILE_D*H MXU flops per edge + one extra XLA gather to align the
 stream. Backward is the same sorted gather as v1.
 
-STATUS: numerically validated in interpret mode and ON REAL TPU at small
-shapes (max err == bf16 input rounding, exact for the production bf16
-dtype). Unlike the manual-DMA v1 this variant COMPILES AND RUNS on the
-bench harness; however its remote Mosaic compile takes ~100s at small
-shapes and exceeds a 10-minute budget at production shapes, so it stays
-opt-in until a directly-attached TPU (or the persistent compile cache)
-absorbs the one-time cost.
+STATUS (measured on TPU v5e, bench shapes E=1.36M, D=85k, H=100, bf16):
+compiles in ~60s (remote compiler; trivial XLA programs take ~120s on the
+same tunnel) and runs correctly, but at TILE_D=128/CHUNK_E=256 the grid
+has ~6000 steps and per-step pipeline overhead dominates: 121 ms vs the
+XLA scatter path's 20.6 ms. The one-hot MXU formulation only wins when
+grid overhead is amortized (larger chunks / much larger H) or the gather
+is fused in; at the production shapes XLA's sorted scatter is already
+within ~3x of the HBM roofline. Kept opt-in (OCC_PALLAS_TILE_D /
+OCC_PALLAS_CHUNK_E to retune) as the kernel substrate for future
+fused-gather work.
 """
 
 from __future__ import annotations
@@ -39,8 +42,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_D = 256
-CHUNK_E = 512
+import os
+
+TILE_D = int(os.environ.get("OCC_PALLAS_TILE_D", 256))
+CHUNK_E = int(os.environ.get("OCC_PALLAS_CHUNK_E", 512))
 
 
 def _kernel(chunk_tile_ref, chunk_first_ref, aug_ref, out_ref):
