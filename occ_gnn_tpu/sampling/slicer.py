@@ -502,3 +502,17 @@ def measure_split_capacities(
     if cache_plan is not None:
         caps["refresh_cap"] = up(max_refresh, margin, 8)
     return caps
+
+
+def scale_capacities(caps: dict, factor: float = 1.5) -> dict:
+    """Grow every padding budget by ``factor`` (rounded up to 8). Used by
+    trainers to auto-recover from capacity-overflow errors: measured
+    capacities cover typical batches; a tail batch that overflows triggers
+    a re-plan + recompile instead of a crash."""
+    out = {}
+    for k, v in caps.items():
+        if isinstance(v, list):
+            out[k] = [int(-(-int(np.ceil(x * factor)) // 8) * 8) for x in v]
+        else:
+            out[k] = int(-(-int(np.ceil(v * factor)) // 8) * 8)
+    return out

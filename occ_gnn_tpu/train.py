@@ -286,20 +286,22 @@ def train_split(args, g, fanouts, timers):
         )
     else:
         caps.pop("refresh_cap", None)
-    if args.sampler == "native":
-        from occ_gnn_tpu.sampling.native import NativeSplitSampler
+    def build_sampler(caps):
+        if args.sampler == "native":
+            from occ_gnn_tpu.sampling.native import NativeSplitSampler
 
-        sampler = NativeSplitSampler(
-            g, g.train_nodes(), pmap, P, fanouts, args.batch_size,
-            capacities=caps, seed=args.seed, cache=cache,
-            num_workers=args.num_workers,
-            replace=not args.sample_without_replacement,
-        )
-    else:
-        sampler = SplitSampler(g, g.train_nodes(), pmap, P, fanouts,
-                               args.batch_size, capacities=caps,
-                               seed=args.seed, cache=cache,
-                               replace=not args.sample_without_replacement)
+            return NativeSplitSampler(
+                g, g.train_nodes(), pmap, P, fanouts, args.batch_size,
+                capacities=caps, seed=args.seed, cache=cache,
+                num_workers=args.num_workers,
+                replace=not args.sample_without_replacement,
+            )
+        return SplitSampler(g, g.train_nodes(), pmap, P, fanouts,
+                            args.batch_size, capacities=caps,
+                            seed=args.seed, cache=cache,
+                            replace=not args.sample_without_replacement)
+
+    sampler = build_sampler(caps)
 
     model = _make_model(args, g, split=True)
     params = model.init(jax.random.PRNGKey(args.seed))
@@ -320,25 +322,41 @@ def train_split(args, g, fanouts, timers):
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
         profiling = True
-    for epoch in range(start_epoch, args.num_epochs):
+    from occ_gnn_tpu.sampling.slicer import scale_capacities
+
+    epoch = start_epoch
+    while epoch < args.num_epochs:
         t0 = time.perf_counter()
         correct = total = 0
-        for batch in sampler:
-            if cache is not None:
-                xs = cache.frames
-            else:
-                with timers.phase("feature_gather"):
-                    xs = jnp.stack([
-                        gather_features(g.features, batch.input_nodes[p])
-                        for p in range(P)
-                    ])
-            with timers.phase("train_step"):
-                params, opt_state, loss, c, t = step(
-                    params, opt_state, batch, xs
-                )
-                loss = jax.block_until_ready(loss)
-            correct += int(c)
-            total += int(t)
+        try:
+            for batch in sampler:
+                if cache is not None:
+                    xs = cache.frames
+                else:
+                    with timers.phase("feature_gather"):
+                        xs = jnp.stack([
+                            gather_features(g.features, batch.input_nodes[p])
+                            for p in range(P)
+                        ])
+                with timers.phase("train_step"):
+                    params, opt_state, loss, c, t = step(
+                        params, opt_state, batch, xs
+                    )
+                    loss = jax.block_until_ready(loss)
+                correct += int(c)
+                total += int(t)
+        except ValueError as e:
+            if "overflow" not in str(e):
+                raise
+            # A tail batch exceeded the measured padding budget: grow every
+            # capacity 1.5x, rebuild the sampler, redo the epoch (one
+            # recompile — the alternative is a crash mid-training).
+            caps = scale_capacities(caps, 1.5)
+            print(f"capacity overflow ({e}); re-planning with 1.5x budgets")
+            if hasattr(sampler, "close"):
+                sampler.close()
+            sampler = build_sampler(caps)
+            continue
         acc = correct / max(total, 1)
         loss_v = float(loss)
         dt = time.perf_counter() - t0
@@ -357,6 +375,7 @@ def train_split(args, g, fanouts, timers):
                 epoch + 1,
             )
             print(f"checkpoint -> {path}")
+        epoch += 1
     out = {"mode": "split", "acc": acc, "loss": loss_v, "partitions": P}
     if args.eval and g.val_mask is not None:
         from occ_gnn_tpu.parallel.model import make_split_forward

@@ -67,3 +67,22 @@ def test_cli_infer_roundtrip(tmp_path):
     assert m["acc"] > 0.5
     preds = np.load(out)
     assert (preds >= 0).sum() == m["count"]
+
+
+def test_cli_overflow_recovery(monkeypatch):
+    """Deliberately tiny measured capacities: the trainer must re-plan with
+    1.5x budgets instead of crashing."""
+    from occ_gnn_tpu.sampling import slicer as slicer_mod
+
+    real_plan = slicer_mod.plan_split_capacities
+
+    def tiny_plan(*a, **kw):
+        caps = real_plan(*a, **kw)
+        return {k: ([max(x // 20, 4) for x in v] if isinstance(v, list)
+                    else v) for k, v in caps.items()}
+
+    monkeypatch.setattr(slicer_mod, "plan_split_capacities", tiny_plan)
+    # train.py imports the symbol inside the function, so patch the module.
+    m = trainer.main(COMMON + ["--mode", "split", "--sampler", "numpy",
+                               "--num-epochs", "1"])
+    assert np.isfinite(m["loss"])

@@ -321,3 +321,37 @@ def test_slicer_isolated_nodes():
     deg = np.asarray(batch.layers[0].owned_deg)
     mask = np.asarray(batch.layers[0].owned_mask)
     assert (deg[mask] >= 1).all()  # every node has at least the self loop
+
+
+@pytest.mark.parametrize("seed,mode,fanouts,bs,parts", [
+    (21, "round_robin", [3, 3], 48, 4),
+    (22, "random", [5], 96, 8),
+    (23, "greedy", [2, 2, 2], 24, 4),
+    (24, "greedy", [-1, 3], 16, 4),
+])
+def test_slicer_fuzz_invariants(seed, mode, fanouts, bs, parts):
+    """Randomized sweep of graph x partitioner x fanouts: conservation,
+    owned coverage, push/recv pairing must hold everywhere."""
+    from occ_gnn_tpu.data import random_graph
+
+    g = random_graph(num_nodes=400, avg_degree=5, feature_dim=8,
+                     num_classes=4, seed=seed)
+    pmap = partition_graph(g, parts, mode=mode, attach=False)
+    sampler = SplitSampler(g, g.train_nodes(), pmap, parts, fanouts, bs,
+                           seed=seed)
+    nodes = g.train_nodes()[:bs]
+    raw = sampler._sample_raw(nodes)
+    batch = sampler.slice_raw(raw)
+    L = len(raw)
+    for l, lyr in enumerate(batch.layers):
+        rl = raw[L - 1 - l]
+        dst = np.asarray(lyr.edge_dst)
+        assert (dst < lyr.dst_cap).sum() == rl.e_dst.shape[0]
+        assert int(np.asarray(lyr.num_owned).sum()) == rl.frontier.shape[0]
+        push = np.asarray(lyr.push_idx)
+        recv = np.asarray(lyr.recv_idx)
+        for p in range(parts):
+            for q in range(parts):
+                if p != q:
+                    assert (push[p, q] >= 0).sum() == \
+                        (recv[q, p] < lyr.dst_cap).sum()
