@@ -19,12 +19,14 @@ from occ_gnn_tpu.ops.segment import spmm_mean
 
 
 class SAGEModel:
-    def __init__(self, in_dim, hidden, num_classes, num_layers, dropout=0.0):
+    def __init__(self, in_dim, hidden, num_classes, num_layers, dropout=0.0,
+                 dtype=jnp.float32):
         self.in_dim = in_dim
         self.hidden = hidden
         self.num_classes = num_classes
         self.num_layers = num_layers
         self.dropout = dropout
+        self.dtype = dtype
 
     def init(self, key) -> dict:
         dims = (
@@ -40,7 +42,7 @@ class SAGEModel:
 
     def layer(self, params, block: Block, x: jax.Array) -> jax.Array:
         neigh = spmm_mean(x, block.edge_src, block.edge_dst, block.dst_cap)
-        self_x = x[: block.dst_cap]
+        self_x = x[: block.dst_cap].astype(jnp.float32)
         return linear(params, jnp.concatenate([self_x, neigh], axis=-1))
 
     def apply(
@@ -60,4 +62,5 @@ class SAGEModel:
                 if train and self.dropout > 0.0:
                     rng, sub = jax.random.split(rng)
                     x = dropout(sub, x, self.dropout, deterministic=False)
+                x = x.astype(self.dtype)
         return x

@@ -115,8 +115,11 @@ def spmm_mean(
     edge_dst: jax.Array,
     num_dst: int,
 ) -> jax.Array:
-    """DGL fn.mean numerics: mean over valid in-edges; zero-degree rows -> 0."""
-    total = spmm_sum(x_src, edge_src, edge_dst, num_dst)
-    ones = jnp.ones(edge_dst.shape[:1], dtype=x_src.dtype)
+    """DGL fn.mean numerics: mean over valid in-edges; zero-degree rows -> 0.
+
+    Accumulation is f32 regardless of input dtype (bf16 storage reads half
+    the bytes; the upcast fuses into the gather)."""
+    total = spmm_sum(x_src.astype(jnp.float32), edge_src, edge_dst, num_dst)
+    ones = jnp.ones(edge_dst.shape[:1], dtype=jnp.float32)
     count = segment_sum(ones, edge_dst, num_dst)
     return total / jnp.maximum(count, 1.0)[:, None]
