@@ -103,6 +103,7 @@ class NativeSplitSampler:
         num_workers: int = 2,
         queue_depth: int = 4,
         replace: bool = True,
+        packed: bool = True,
     ):
         self.graph = graph
         self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
@@ -178,6 +179,10 @@ class NativeSplitSampler:
         self._next_submit_seq = 0
         self._next_deliver_seq = 0
         self._reorder: dict[int, SplitBatch] = {}
+        self.packed = packed
+        self._layout = None
+        self._unpack_fn = None
+        self._labels_dev = None
 
     # -- epoch iteration ---------------------------------------------------
 
@@ -262,7 +267,137 @@ class NativeSplitSampler:
         del batch._refresh_nodes
         return batch
 
+    # -- packed transfer path ---------------------------------------------
+    # The C++ service writes every field into ONE host arena; the whole
+    # arena crosses host->device in a single transfer and a jit'd unpack
+    # slices/bitcasts the fields device-side. ~35 small transfers per
+    # batch become 1 (plus the cache tail) — transfer-count latency is
+    # what dominates staging on hosts with slow interconnects.
+
+    def _build_layout(self):
+        P, L = self.P, len(self.fanouts)
+        caps = self.caps
+        layout = []
+        off = 0
+
+        def add(name, l, shape, kind):
+            nonlocal off
+            n = int(np.prod(shape))
+            words = n if kind != "u8" else -(-n // 4)
+            layout.append((name, l, off, tuple(shape), kind))
+            off += words
+
+        for l in range(L):
+            E = caps["edge_caps"][l]
+            S = caps["shuffle_caps"][l]
+            O = caps["out_caps"][l]
+            add("edge_src", l, (P, E), "i32")
+            add("edge_dst", l, (P, E), "i32")
+            add("push", l, (P, P, S), "i32")
+            add("recv", l, (P, P, S), "i32")
+            add("owned_idx", l, (P, O), "i32")
+            add("owned_deg", l, (P, O), "f32")
+            add("self_idx", l, (P, O), "i32")
+            add("owned_mask", l, (P, O), "u8")
+            add("num_owned", l, (P,), "i32")
+        add("input_nodes", None, (P, caps["frame_caps"][0]), "i32")
+        add("targets", None, (P, caps["out_caps"][-1]), "i32")
+        add("refresh", None, (P, max(self.refresh_cap, 1)), "i32")
+        self._layout = layout
+        self._arena_words = off
+
+    def _make_unpack(self):
+        import jax
+        import jax.numpy as jnp
+
+        layout = self._layout
+        caps = self.caps
+        P, L = self.P, len(self.fanouts)
+        src_cap0 = (self.cache_plan.frame_cap
+                    if self.cache_plan is not None
+                    else caps["frame_caps"][0])
+
+        def field(arena, name, l):
+            for n, li, off, shape, kind in layout:
+                if n == name and li == l:
+                    count = int(np.prod(shape))
+                    if kind == "i32":
+                        return arena[off : off + count].reshape(shape)
+                    if kind == "f32":
+                        return jax.lax.bitcast_convert_type(
+                            arena[off : off + count], jnp.float32
+                        ).reshape(shape)
+                    words = -(-count // 4)
+                    by = jax.lax.bitcast_convert_type(
+                        arena[off : off + words], jnp.uint8
+                    ).reshape(-1)[:count]
+                    return (by != 0).reshape(shape)
+            raise KeyError((name, l))
+
+        def unpack(arena, labels_all):
+            layers = []
+            for l in range(L):
+                layers.append(SplitLayer(
+                    edge_src=field(arena, "edge_src", l),
+                    edge_dst=field(arena, "edge_dst", l),
+                    push_idx=field(arena, "push", l),
+                    recv_idx=field(arena, "recv", l),
+                    owned_idx=field(arena, "owned_idx", l),
+                    owned_deg=field(arena, "owned_deg", l),
+                    self_idx=field(arena, "self_idx", l),
+                    owned_mask=field(arena, "owned_mask", l),
+                    num_owned=field(arena, "num_owned", l),
+                    src_cap=(src_cap0 if l == 0 else caps["frame_caps"][l]),
+                    dst_cap=caps["dst_caps"][l],
+                    out_cap=caps["out_caps"][l],
+                ))
+            targets = field(arena, "targets", None)
+            # labels looked up on device from the resident label table
+            labels = jnp.where(
+                targets >= 0,
+                labels_all[jnp.maximum(targets, 0)],
+                -1,
+            )
+            return SplitBatch(
+                layers=layers,
+                input_nodes=field(arena, "input_nodes", None),
+                labels=labels,
+                target_nodes=targets,
+            )
+
+        return jax.jit(unpack)
+
+    def _pop_packed(self):
+        import jax.numpy as jnp
+
+        if self._layout is None:
+            self._build_layout()
+            self._unpack_fn = self._make_unpack()
+            self._labels_dev = jnp.asarray(
+                self.graph.labels.astype(np.int32)
+            )
+        arena = np.empty(self._arena_words, np.int32)
+        base = arena.ctypes.data
+        ptrs = [base + off * 4 for (_, _, off, _, _) in self._layout]
+        arr = (ctypes.c_void_p * len(ptrs))(*ptrs)
+        seq = ctypes.c_int64(-1)
+        err = self._lib.occ_next(self._handle, arr, ctypes.byref(seq))
+        if err != 0:
+            raise ValueError(
+                f"native slicer error: {_ERRORS.get(err, err)} — raise the "
+                f"capacity config"
+            )
+        # Host-side view of the refresh list BEFORE upload (apply_tail
+        # gathers features from host RAM).
+        rname, _, roff, rshape, _ = self._layout[-1]
+        refresh = arena[roff : roff + int(np.prod(rshape))].reshape(rshape)
+        batch = self._unpack_fn(jnp.asarray(arena), self._labels_dev)
+        batch._refresh_nodes = refresh
+        return seq.value, batch
+
     def _pop_any(self):
+        if self.packed:
+            return self._pop_packed()
         import jax.numpy as jnp
 
         fields, extra = self._alloc_fields()
