@@ -1,0 +1,80 @@
+"""TRUE multi-host validation: two OS processes (2 virtual devices each)
+form a jax.distributed cluster; the split-parallel step's all_to_all and
+psum run ACROSS the process boundary (the DCN analog), and the result
+must match the single-process 4-device run exactly. The reference never
+had any multi-node story (SURVEY.md §4: '4 GPUs, one box, no mocks')."""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_step_matches_single_process(small_graph):
+    port = str(_free_port())
+    here = os.path.dirname(__file__)
+    worker = os.path.join(here, "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=150)
+        assert p.returncode == 0, out[-2000:]
+        m = re.search(r"RESULT (\d+) ([\d.]+) (\d+) (\d+)", out)
+        assert m, out[-2000:]
+        results[int(m.group(1))] = (float(m.group(2)), int(m.group(3)),
+                                    int(m.group(4)))
+    # Both processes agree (psum is global).
+    assert results[0] == results[1]
+
+    # And match the single-process run bit-for-bit.
+    from occ_gnn_tpu.data import partition_graph, random_graph
+    from occ_gnn_tpu.parallel.model import SplitSAGE, make_split_train_step
+    from occ_gnn_tpu.parallel.split import make_mesh
+    from occ_gnn_tpu.sampling.slicer import SplitSampler
+    from occ_gnn_tpu.training import gather_features
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    P = 4
+    g = random_graph(num_nodes=600, avg_degree=6, feature_dim=16,
+                     num_classes=4, seed=3)
+    pmap = partition_graph(g, P, mode="greedy")
+    mesh = make_mesh(P)
+    inner = SplitSampler(g, g.train_nodes(), pmap, P, [3, 3], 64, seed=5)
+    batch = inner.sample_batch(g.train_nodes()[:64])
+    xs = jnp.stack([
+        gather_features(g.features, np.asarray(batch.input_nodes)[p])
+        for p in range(P)
+    ])
+    model = SplitSAGE(g.feature_dim, 16, g.num_classes, 2)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    ost = opt.init(params)
+    step = make_split_train_step(model, opt, mesh)
+    _, _, loss, c, t = step(params, ost, batch, xs)
+    assert abs(results[0][0] - float(loss)) < 1e-5
+    assert results[0][1] == int(c)
+    assert results[0][2] == int(t)
