@@ -1,0 +1,46 @@
+"""Aggregate benchmark/experiment results into one markdown report.
+
+    python -m benchmarks.report > REPORT.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
+
+
+def main():
+    print("# Benchmark & experiment report\n")
+    print("Generated from benchmarks/results/*.jsonl (latest record per "
+          "experiment).\n")
+    if not os.path.isdir(RESULTS_DIR):
+        print("(no results recorded yet)")
+        return
+    for name in sorted(os.listdir(RESULTS_DIR)):
+        if not name.endswith(".jsonl"):
+            continue
+        with open(os.path.join(RESULTS_DIR, name)) as fp:
+            lines = [json.loads(l) for l in fp if l.strip()]
+        if not lines:
+            continue
+        rec = lines[-1]
+        print(f"## {rec.get('experiment', name)}\n")
+        rec.pop("time", None)
+        rec.pop("experiment", None)
+        if "rows" in rec:
+            rows = rec.pop("rows")
+            if rows:
+                keys = list(rows[0].keys())
+                print("| " + " | ".join(keys) + " |")
+                print("|" + "---|" * len(keys))
+                for r in rows:
+                    print("| " + " | ".join(str(r[k]) for k in keys) + " |")
+        for k, v in rec.items():
+            print(f"- {k}: {v}")
+        print()
+
+
+if __name__ == "__main__":
+    main()
