@@ -157,7 +157,6 @@ class Worker {
   Worker(const Config& cfg, uint64_t seed, Stats* stats = nullptr)
       : cfg_(cfg), rng_(seed), seed_base_(seed), stats_(stats) {
     mask_.assign(cfg.num_nodes, 0);
-    dst_rank0_.clear();
     foreign_mask_.assign(cfg.P, {});
     int64_t max_frontier = 0;
     for (int l = 0; l <= cfg.L; l++)
@@ -184,7 +183,6 @@ class Worker {
   std::vector<int32_t> mask_;  // global-id scratch (dedup / tail)
   std::vector<int64_t> frontier0_;
   std::vector<int32_t> f0_owner_, f0_rank_;
-  std::vector<int32_t> dst_rank0_;
   std::vector<LayerSample> layers_;
   std::vector<std::vector<int32_t>> foreign_mask_;  // per partition
   std::vector<int32_t> tail_id_;                    // per-sample tail assign

@@ -10,8 +10,9 @@ These are the TPU equivalents of the reference's aggregation kernels:
 Padding convention: out-of-range segment ids (``== num_segments``) are
 dropped — XLA scatter in FILL_OR_DROP mode — so padded edges need no masks.
 Backward passes are XLA gathers (transpose of scatter-add), which XLA
-handles natively; a Pallas fused variant lives in occ_gnn_tpu.ops.pallas_spmm
-and is selected via ``occ_gnn_tpu.ops.config``.
+handles natively; the Pallas variant lives in
+occ_gnn_tpu.ops.pallas_spmm_blocked and is selected via
+``occ_gnn_tpu.ops.config``.
 """
 
 from __future__ import annotations
@@ -103,7 +104,7 @@ def spmm_sum(
     from occ_gnn_tpu.ops.config import use_pallas
 
     if use_pallas() and msgs.ndim == 2:
-        from occ_gnn_tpu.ops.pallas_spmm import segment_sum_sorted
+        from occ_gnn_tpu.ops.pallas_spmm_blocked import segment_sum_sorted
 
         return segment_sum_sorted(msgs, edge_dst, num_dst)
     return segment_sum(msgs, edge_dst, num_dst)

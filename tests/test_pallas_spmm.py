@@ -28,33 +28,6 @@ def _case(E, D, H, S, cap, seed=0):
     return jnp.asarray(x), jnp.asarray(srcp), jnp.asarray(dstp)
 
 
-@pytest.mark.parametrize("E,D,H,S,cap", [
-    (3000, 700, 64, 500, 4096),
-    (100, 10, 8, 50, 256),        # tiny, many empty tiles
-    (5000, 300, 128, 400, 6000),  # dense dsts, multiple chunks per tile
-])
-def test_pallas_matches_xla(E, D, H, S, cap):
-    from occ_gnn_tpu.ops.pallas_spmm import spmm_sum_pallas
-
-    x, src, dst = _case(E, D, H, S, cap)
-    out = spmm_sum_pallas(x, src, dst, D)
-    golden = jax.ops.segment_sum(x[src], dst, num_segments=D)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(golden),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_pallas_grad_matches_xla():
-    from occ_gnn_tpu.ops.pallas_spmm import spmm_sum_pallas
-
-    x, src, dst = _case(2000, 400, 32, 300, 2048)
-    g1 = jax.grad(lambda xx: spmm_sum_pallas(xx, src, dst, 400).sum())(x)
-    g2 = jax.grad(
-        lambda xx: jax.ops.segment_sum(xx[src], dst, num_segments=400).sum()
-    )(x)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
-                               atol=1e-5)
-
-
 def test_spmm_sum_dispatches_to_pallas():
     from occ_gnn_tpu.ops import config, segment
 
