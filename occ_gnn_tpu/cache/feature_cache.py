@@ -71,7 +71,10 @@ class CachePlan:
             [c.shape[0] for c in self.static_nodes], dtype=np.int64
         )
         self.tail_start = int(self.static_sizes.max())
-        self.frame_cap = self.tail_start + refresh_cap
+        # +1: the LAST frame row is reserved as the dense-aggregation zero
+        # row (nbr_idx padding target) — never assigned to any node, zeroed
+        # at init, untouched by refresh.
+        self.frame_cap = self.tail_start + refresh_cap + 1
         self._dynamic: list[np.ndarray] = [
             np.empty(0, dtype=np.int64) for _ in range(num_partitions)
         ]
@@ -153,10 +156,11 @@ class SplitFeatureCache:
             return
         if self._update is None:
             ts = self.plan.tail_start
+            rc = self.plan.refresh_cap
 
             @jax.jit
             def update(frames, tail):
-                return frames.at[:, ts:, :].set(tail)
+                return frames.at[:, ts : ts + rc, :].set(tail)
 
             self._update = update
         tail = jnp.asarray(tail).astype(self.dtype)
@@ -185,10 +189,11 @@ class SplitFeatureCache:
                 tail[p, :k] = plan.graph.features[rows[:k]]
         if self._update is None:
             ts = plan.tail_start
+            rc = plan.refresh_cap
 
             @jax.jit
             def update(frames, tail):
-                return frames.at[:, ts:, :].set(tail)
+                return frames.at[:, ts : ts + rc, :].set(tail)
 
             self._update = update
         t = jnp.asarray(tail).astype(self.dtype)

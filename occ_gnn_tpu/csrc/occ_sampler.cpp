@@ -57,6 +57,10 @@ struct Config {
   int64_t dst_caps[MAX_LAYERS] = {0};
   int64_t out_caps[MAX_LAYERS] = {0};
   int64_t shuffle_caps[MAX_LAYERS] = {0};
+  // Dense neighbor-matrix depth per layer: fanout+1 (self loop included) —
+  // a hard bound under fanout sampling; < 0 disables the dense layout
+  // (full-neighborhood layers have unbounded degree).
+  int64_t deg_caps[MAX_LAYERS] = {0};
   // optional cache
   const uint8_t* static_mask = nullptr;  // [N, P] row-major
   const int32_t* static_g2l = nullptr;   // [N, P]
@@ -88,6 +92,11 @@ struct Sample {
     std::vector<float> owned_deg;               // [P * O_cap]
     std::vector<uint8_t> owned_mask;            // [P * O_cap]
     std::vector<int32_t> num_owned;             // [P]
+    // Dense transposed neighbor matrix [P * K_cap * D_cap], padded with
+    // the src frame's reserved zero row; empty when deg_cap < 0. The
+    // device aggregates with K_cap row-gathers instead of a scatter-add
+    // (TPU scatter lowering is ~3.3x slower at production shapes).
+    std::vector<int32_t> nbr;
   };
   std::vector<Layer> layers;
   std::vector<int32_t> input_nodes;    // [P * F0_cap], pad -1
@@ -310,8 +319,30 @@ bool Worker::slice_layer(int l, Sample* out) {
   const bool use_cache = (l == 0) && cfg_.static_g2l != nullptr;
 
   Sample::Layer& L = out->layers[l];
+  const int64_t K_cap = cfg_.deg_caps[l];
+  // Sentinel: the src frame's RESERVED zero row (cache frames reserve
+  // tail_start + refresh_cap; regular frames reserve frame_cap - 1).
+  const int32_t sentinel =
+      use_cache ? (int32_t)(cfg_.tail_start + cfg_.refresh_cap)
+                : (int32_t)(cfg_.frame_caps[l] - 1);
+  if (!use_cache) {
+    // The reserved row must stay unallocated: the layer's src frame may
+    // fill at most frame_cap - 1 rows per partition.
+    std::vector<int64_t> fcnt(P, 0);
+    for (int32_t fo : ls.frame_owner) fcnt[fo]++;
+    for (int p = 0; p < P; p++) {
+      if (fcnt[p] > cfg_.frame_caps[l] - 1) {
+        out->error = 8;  // src frame overflow (reserved zero row)
+        return false;
+      }
+    }
+  }
   L.edge_src.assign((size_t)P * E_cap, 0);
   L.edge_dst.assign((size_t)P * E_cap, (int32_t)D_cap);
+  if (K_cap > 0)
+    L.nbr.assign((size_t)P * K_cap * D_cap, sentinel);
+  else
+    L.nbr.clear();
   L.push.assign((size_t)P * P * S_cap, -1);
   L.recv.assign((size_t)P * P * S_cap, (int32_t)D_cap);
   L.owned_idx.assign((size_t)P * O_cap, -1);
@@ -412,6 +443,27 @@ bool Worker::slice_layer(int l, Sample* out) {
       }
       std::copy(es2.begin(), es2.end(), es);
       std::copy(ed2.begin(), ed2.end(), ed);
+    }
+
+    // Dense neighbor matrix: edges are dst-sorted, so the within-dst rank
+    // is a run counter. rank < K_cap is guaranteed by fanout sampling
+    // (fanout neighbors + self loop); checked anyway.
+    if (K_cap > 0) {
+      int32_t* nb = L.nbr.data() + (size_t)p * K_cap * D_cap;
+      int32_t prev = -1;
+      int64_t r = 0;
+      for (int64_t t = 0; t < k; t++) {
+        if (ed[t] != prev) {
+          prev = ed[t];
+          r = 0;
+        }
+        if (r >= K_cap) {
+          out->error = 9;  // degree capacity overflow
+          return false;
+        }
+        nb[r * D_cap + ed[t]] = es[t];
+        r++;
+      }
     }
 
     // Shuffle bookkeeping.
@@ -591,6 +643,7 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
                  int32_t L, const int32_t* fanouts, const int64_t* frame_caps,
                  const int64_t* edge_caps, const int64_t* dst_caps,
                  const int64_t* out_caps, const int64_t* shuffle_caps,
+                 const int64_t* deg_caps,
                  const uint8_t* static_mask, const int32_t* static_g2l,
                  int64_t tail_start, int64_t refresh_cap, int32_t num_workers,
                  int32_t queue_depth, uint64_t seed,
@@ -609,6 +662,7 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
     c.dst_caps[i] = dst_caps[i];
     c.out_caps[i] = out_caps[i];
     c.shuffle_caps[i] = shuffle_caps[i];
+    c.deg_caps[i] = deg_caps ? deg_caps[i] : -1;
   }
   for (int i = 0; i <= L; i++) c.frame_caps[i] = frame_caps[i];
   c.static_mask = static_mask;
@@ -636,8 +690,9 @@ void occ_submit(void* handle, const int64_t* nodes, int64_t n, int64_t seq) {
 
 // Blocking: pop one finished sample and copy it into caller buffers.
 // `field_ptrs` order: per layer l in [0,L): edge_src, edge_dst, push, recv,
-// owned_idx, owned_deg(float), self_idx, owned_mask(uint8), num_owned;
-// then input_nodes, targets, refresh_nodes. Returns error code (0 = ok).
+// owned_idx, owned_deg(float), self_idx, owned_mask(uint8), num_owned,
+// nbr (only when deg_caps[l] > 0); then input_nodes, targets,
+// refresh_nodes. Returns error code (0 = ok).
 int32_t occ_next(void* handle, void** field_ptrs, int64_t* seq_out) {
   Service* svc = static_cast<Service*>(handle);
   Sample* s;
@@ -661,14 +716,15 @@ int32_t occ_next(void* handle, void** field_ptrs, int64_t* seq_out) {
       cp(L.self_idx.data(), L.self_idx.size() * 4);
       cp(L.owned_mask.data(), L.owned_mask.size());
       cp(L.num_owned.data(), L.num_owned.size() * 4);
+      if (c.deg_caps[l] > 0) cp(L.nbr.data(), L.nbr.size() * 4);
     }
-    std::memcpy(field_ptrs[c.L * 9 + 0], s->input_nodes.data(),
-                s->input_nodes.size() * 4);
-    std::memcpy(field_ptrs[c.L * 9 + 1], s->targets.data(),
-                s->targets.size() * 4);
-    if (c.static_g2l)
-      std::memcpy(field_ptrs[c.L * 9 + 2], s->refresh_nodes.data(),
-                  s->refresh_nodes.size() * 4);
+    auto cp = [&](const void* src, size_t bytes) {
+      std::memcpy(field_ptrs[f++], src, bytes);
+    };
+    cp(s->input_nodes.data(), s->input_nodes.size() * 4);
+    cp(s->targets.data(), s->targets.size() * 4);
+    if (c.static_g2l) cp(s->refresh_nodes.data(),
+                         s->refresh_nodes.size() * 4);
   }
   svc->put_buffer(s);
   return err;

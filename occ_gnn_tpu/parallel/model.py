@@ -23,7 +23,7 @@ from occ_gnn_tpu.models.common import linear, linear_init, xavier_uniform
 from occ_gnn_tpu.parallel.split import (
     SplitBatch,
     SplitLayer,
-    local_aggregate,
+    aggregate,
     reverse_shuffle,
     shuffle_merge,
     shuffle_softmax_merge,
@@ -65,7 +65,7 @@ class SplitSAGE:
         }
 
     def layer(self, params, lyr: SplitLayer, x: jax.Array) -> jax.Array:
-        neigh = local_aggregate(x, lyr.edge_src, lyr.edge_dst, lyr.dst_cap)
+        neigh = aggregate(x, lyr)
         if lyr.push_idx.shape[0] > 1:  # P == 1: no foreign edges exist
             merged = shuffle_merge(neigh, lyr.push_idx, lyr.recv_idx)
         else:
@@ -99,7 +99,7 @@ class SplitGCN(SplitSAGE):
         }
 
     def layer(self, params, lyr: SplitLayer, x: jax.Array) -> jax.Array:
-        neigh = local_aggregate(x, lyr.edge_src, lyr.edge_dst, lyr.dst_cap)
+        neigh = aggregate(x, lyr)
         if lyr.push_idx.shape[0] > 1:
             merged = shuffle_merge(neigh, lyr.push_idx, lyr.recv_idx)
         else:

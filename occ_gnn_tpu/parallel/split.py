@@ -54,6 +54,15 @@ class SplitLayer:
     self_idx: jax.Array   # i32[P, O_cap] pad=0
     owned_mask: jax.Array  # bool[P, O_cap]
     num_owned: jax.Array  # i32[P]
+    # Dense transposed neighbor matrix i32[P, K_cap, D_cap] (None when the
+    # layer was sampled with unbounded fanout): nbr_idx[p, k, d] is the k-th
+    # in-edge source row of local dst d in p's input frame, padded with the
+    # frame's RESERVED ZERO ROW (src_cap - 1). Fanout sampling bounds
+    # per-dst degree by fanout+1 (self loop included), so aggregation
+    # becomes K row-gathers accumulated in f32 — no scatter. On TPU the
+    # sorted scatter-add lowering runs ~3.3x slower than this gather-only
+    # form at production shapes (see local_aggregate_dense).
+    nbr_idx: jax.Array | None = None
     src_cap: int = static()
     dst_cap: int = static()
     out_cap: int = static()
@@ -103,6 +112,30 @@ def local_aggregate(x: jax.Array, edge_src, edge_dst, dst_cap: int):
     return jax.ops.segment_sum(
         msgs, edge_dst, num_segments=dst_cap, indices_are_sorted=True
     )
+
+
+def local_aggregate_dense(x: jax.Array, nbr_idx: jax.Array):
+    """Partial neighbor SUM via the dense [K_cap, D_cap] neighbor matrix.
+
+    Replaces the sorted scatter-add of ``local_aggregate`` with K_cap
+    row-gathers accumulated in f32 (gathers hit HBM at row granularity;
+    TPU has no efficient random scatter). Padding slots point at the
+    frame's reserved zero row, so no mask is needed. Same contract as
+    ``local_aggregate``: returns f32[D_cap, H] partial sums.
+    """
+    K = nbr_idx.shape[0]
+    acc = x[nbr_idx[0]].astype(jnp.float32)
+    for k in range(1, K):
+        acc = acc + x[nbr_idx[k]].astype(jnp.float32)
+    return acc
+
+
+def aggregate(x: jax.Array, lyr: "SplitLayer"):
+    """Partial neighbor sums for one layer: dense gather-only path when the
+    slicer emitted ``nbr_idx`` (bounded fanout), COO scatter otherwise."""
+    if lyr.nbr_idx is not None:
+        return local_aggregate_dense(x, lyr.nbr_idx)
+    return local_aggregate(x, lyr.edge_src, lyr.edge_dst, lyr.dst_cap)
 
 
 def shuffle_merge(neigh: jax.Array, push_idx, recv_idx, axis_name: str = "p"):

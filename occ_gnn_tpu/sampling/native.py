@@ -54,6 +54,7 @@ def load_library():
         ctypes.c_void_p,  # dst_caps
         ctypes.c_void_p,  # out_caps
         ctypes.c_void_p,  # shuffle_caps
+        ctypes.c_void_p,  # deg_caps
         ctypes.c_void_p,  # static_mask
         ctypes.c_void_p,  # static_g2l
         ctypes.c_int64,  # tail_start
@@ -82,6 +83,8 @@ _ERRORS = {
     5: "routed src missing from cache",
     6: "refresh capacity overflow",
     7: "input frame capacity overflow",
+    8: "src frame capacity overflow (one row reserved as the dense zero row)",
+    9: "degree capacity overflow",
 }
 
 
@@ -133,6 +136,13 @@ class NativeSplitSampler:
         self._shuffle_caps = np.asarray(
             self.caps["shuffle_caps"], dtype=np.int64
         )
+        from occ_gnn_tpu.sampling.slicer import default_deg_caps
+
+        # Derived, not tunable: always fanout + 1 (see slicer.default_deg_caps).
+        self._deg_caps = np.asarray(
+            default_deg_caps(self.fanouts), dtype=np.int64
+        )
+        self.caps["deg_caps"] = [int(x) for x in self._deg_caps]
         if plan is not None:
             # Static-only maps: dynamic tail ids are assigned per sample
             # inside the workers (no shared mutable state).
@@ -165,6 +175,7 @@ class NativeSplitSampler:
             self._dst_caps.ctypes.data,
             self._out_caps.ctypes.data,
             self._shuffle_caps.ctypes.data,
+            self._deg_caps.ctypes.data,
             mask_p,
             g2l_p,
             tail_start,
@@ -229,9 +240,10 @@ class NativeSplitSampler:
         P, L = self.P, len(self.fanouts)
         caps = self.caps
         fields = []
+        deg_caps = self.caps["deg_caps"]
         for l in range(L):
             E, S, O = caps["edge_caps"][l], caps["shuffle_caps"][l], caps["out_caps"][l]
-            fields.append({
+            f = {
                 "edge_src": np.empty((P, E), np.int32),
                 "edge_dst": np.empty((P, E), np.int32),
                 "push": np.empty((P, P, S), np.int32),
@@ -241,7 +253,12 @@ class NativeSplitSampler:
                 "self_idx": np.empty((P, O), np.int32),
                 "owned_mask": np.empty((P, O), np.uint8),
                 "num_owned": np.empty((P,), np.int32),
-            })
+            }
+            if deg_caps[l] > 0:
+                f["nbr"] = np.empty(
+                    (P, deg_caps[l], caps["dst_caps"][l]), np.int32
+                )
+            fields.append(f)
         extra = {
             "input_nodes": np.empty((P, caps["frame_caps"][0]), np.int32),
             "targets": np.empty((P, caps["out_caps"][-1]), np.int32),
@@ -287,6 +304,7 @@ class NativeSplitSampler:
             layout.append((name, l, off, tuple(shape), kind))
             off += words
 
+        deg_caps = caps["deg_caps"]
         for l in range(L):
             E = caps["edge_caps"][l]
             S = caps["shuffle_caps"][l]
@@ -300,6 +318,8 @@ class NativeSplitSampler:
             add("self_idx", l, (P, O), "i32")
             add("owned_mask", l, (P, O), "u8")
             add("num_owned", l, (P,), "i32")
+            if deg_caps[l] > 0:
+                add("nbr", l, (P, deg_caps[l], caps["dst_caps"][l]), "i32")
         add("input_nodes", None, (P, caps["frame_caps"][0]), "i32")
         add("targets", None, (P, caps["out_caps"][-1]), "i32")
         add("refresh", None, (P, max(self.refresh_cap, 1)), "i32")
@@ -334,6 +354,8 @@ class NativeSplitSampler:
                     return (by != 0).reshape(shape)
             raise KeyError((name, l))
 
+        deg_caps = caps["deg_caps"]
+
         def unpack(arena, labels_all):
             layers = []
             for l in range(L):
@@ -347,6 +369,8 @@ class NativeSplitSampler:
                     self_idx=field(arena, "self_idx", l),
                     owned_mask=field(arena, "owned_mask", l),
                     num_owned=field(arena, "num_owned", l),
+                    nbr_idx=(field(arena, "nbr", l)
+                             if deg_caps[l] > 0 else None),
                     src_cap=(src_cap0 if l == 0 else caps["frame_caps"][l]),
                     dst_cap=caps["dst_caps"][l],
                     out_cap=caps["out_caps"][l],
@@ -403,10 +427,11 @@ class NativeSplitSampler:
         fields, extra = self._alloc_fields()
         ptrs = []
         order = ["edge_src", "edge_dst", "push", "recv", "owned_idx",
-                 "owned_deg", "self_idx", "owned_mask", "num_owned"]
+                 "owned_deg", "self_idx", "owned_mask", "num_owned", "nbr"]
         for layer in fields:
             for k in order:
-                ptrs.append(layer[k].ctypes.data)
+                if k in layer:
+                    ptrs.append(layer[k].ctypes.data)
         ptrs.append(extra["input_nodes"].ctypes.data)
         ptrs.append(extra["targets"].ctypes.data)
         ptrs.append(extra["refresh_nodes"].ctypes.data)
@@ -431,6 +456,7 @@ class NativeSplitSampler:
                 self_idx=jnp.asarray(f["self_idx"]),
                 owned_mask=jnp.asarray(f["owned_mask"].astype(bool)),
                 num_owned=jnp.asarray(f["num_owned"]),
+                nbr_idx=(jnp.asarray(f["nbr"]) if "nbr" in f else None),
                 src_cap=(self.cache_plan.frame_cap if (l == 0 and self.cache_plan is not None)
                          else caps["frame_caps"][l]),
                 dst_cap=caps["dst_caps"][l],

@@ -96,7 +96,18 @@ def plan_split_capacities(
         "dst_caps": dst_caps,
         "out_caps": out_caps,
         "shuffle_caps": shuffle_caps,
+        "deg_caps": default_deg_caps(fanouts),
     }
+
+
+def default_deg_caps(fanouts: list[int]) -> list[int]:
+    """Per-layer (innermost-first) dense neighbor-matrix depth: fanout
+    sampling bounds per-dst degree by fanout + 1 (self loop included), a
+    HARD bound — no margin or measurement needed. -1 disables the dense
+    layout for full-neighborhood layers (fanout < 0: unbounded degree)."""
+    L = len(fanouts)
+    return [(fanouts[L - 1 - l] + 1 if fanouts[L - 1 - l] >= 0 else -1)
+            for l in range(L)]
 
 
 @dataclasses.dataclass
@@ -291,8 +302,29 @@ class SplitSampler:
         # Total sampled in-degree per dst (for the exact mean).
         deg = np.bincount(rl.e_dst, minlength=F_d.shape[0]).astype(np.float32)
 
+        # deg_caps are DERIVED (fanout + 1 is a hard bound under fanout
+        # sampling), never read from the capacity dict — they are not
+        # tunable and must not shrink/grow with capacity re-planning.
+        K_cap = default_deg_caps(self.fanouts)[l]
+
+        if not use_cache:
+            # One src-frame row per partition is RESERVED as the dense
+            # layout's zero row (nbr_idx padding target): frames must never
+            # fill completely. (Cache frames reserve their last row in
+            # CachePlan.)
+            frame_counts = np.bincount(frame_owner, minlength=P)
+            if frame_counts.max() > F_cap - 1:
+                raise ValueError(
+                    f"src frame overflow: layer {l}: partition "
+                    f"{int(frame_counts.argmax())} needs "
+                    f"{int(frame_counts.max())} rows, usable cap "
+                    f"{F_cap - 1} (one row reserved)"
+                )
+
         edge_src = np.zeros((P, E_cap), np.int32)
         edge_dst = np.full((P, E_cap), D_cap, np.int32)
+        nbr_idx = (np.full((P, K_cap, D_cap), F_cap - 1, np.int32)
+                   if K_cap > 0 else None)
         push_idx = np.full((P, P, S_cap), -1, np.int32)
         recv_idx = np.full((P, P, S_cap), D_cap, np.int32)
         owned_idx = np.full((P, O_cap), -1, np.int32)
@@ -335,8 +367,20 @@ class SplitSampler:
                     f"edges > cap {E_cap}"
                 )
             order = np.argsort(ed_local, kind="stable")
-            edge_src[p, : sel.shape[0]] = e_src_local[sel][order]
-            edge_dst[p, : sel.shape[0]] = ed_local[order]
+            ed_sorted = ed_local[order]
+            es_sorted = e_src_local[sel][order]
+            edge_src[p, : sel.shape[0]] = es_sorted
+            edge_dst[p, : sel.shape[0]] = ed_sorted
+            if nbr_idx is not None and ed_sorted.size:
+                first = np.searchsorted(ed_sorted, ed_sorted, side="left")
+                rank = np.arange(ed_sorted.shape[0]) - first
+                if rank.max() >= K_cap:
+                    raise ValueError(
+                        f"degree capacity overflow: layer {l} partition {p}: "
+                        f"local dst degree {int(rank.max()) + 1} > K_cap "
+                        f"{K_cap}"
+                    )
+                nbr_idx[p, rank, ed_sorted] = es_sorted
 
             # shuffle: p sends its foreign partial rows to their owners.
             fowner = dst_owner[foreign_frame]
@@ -379,6 +423,7 @@ class SplitSampler:
             self_idx=jnp.asarray(self_idx),
             owned_mask=jnp.asarray(owned_mask),
             num_owned=jnp.asarray(num_owned),
+            nbr_idx=jnp.asarray(nbr_idx) if nbr_idx is not None else None,
             src_cap=F_cap,
             dst_cap=D_cap,
             out_cap=O_cap,
@@ -498,6 +543,7 @@ def measure_split_capacities(
         "dst_caps": [up(x, margin, 8) for x in max_dst],
         "out_caps": out_caps,
         "shuffle_caps": [up(x, margin, 8) for x in max_shuffle],
+        "deg_caps": default_deg_caps(fanouts),
     }
     if cache_plan is not None:
         caps["refresh_cap"] = up(max_refresh, margin, 8)
@@ -511,7 +557,9 @@ def scale_capacities(caps: dict, factor: float = 1.5) -> dict:
     a re-plan + recompile instead of a crash."""
     out = {}
     for k, v in caps.items():
-        if isinstance(v, list):
+        if k == "deg_caps":
+            out[k] = list(v)  # hard bound (fanout + 1), never scaled
+        elif isinstance(v, list):
             out[k] = [int(-(-int(np.ceil(x * factor)) // 8) * 8) for x in v]
         else:
             out[k] = int(-(-int(np.ceil(v * factor)) // 8) * 8)

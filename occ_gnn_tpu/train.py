@@ -325,6 +325,7 @@ def train_split(args, g, fanouts, timers):
     from occ_gnn_tpu.sampling.slicer import scale_capacities
 
     epoch = start_epoch
+    replans = 0
     while epoch < args.num_epochs:
         t0 = time.perf_counter()
         correct = total = 0
@@ -347,6 +348,11 @@ def train_split(args, g, fanouts, timers):
                 total += int(t)
         except ValueError as e:
             if "overflow" not in str(e):
+                raise
+            replans += 1
+            if replans > 8:
+                # Growing budgets is not converging — the overflow is not a
+                # padding-budget problem (e.g. a degree bound violated).
                 raise
             # A tail batch exceeded the measured padding budget: grow every
             # capacity 1.5x, rebuild the sampler, redo the epoch (one

@@ -38,6 +38,12 @@ def _assert_batches_equal(a, b, P):
         np.testing.assert_allclose(
             np.asarray(la.owned_deg), np.asarray(lb.owned_deg)
         )
+        assert (la.nbr_idx is None) == (lb.nbr_idx is None)
+        if la.nbr_idx is not None:
+            np.testing.assert_array_equal(
+                np.asarray(la.nbr_idx), np.asarray(lb.nbr_idx),
+                err_msg="nbr_idx",
+            )
         assert la.src_cap == lb.src_cap
         assert la.dst_cap == lb.dst_cap
         assert la.out_cap == lb.out_cap

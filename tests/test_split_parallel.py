@@ -355,3 +355,44 @@ def test_slicer_fuzz_invariants(seed, mode, fanouts, bs, parts):
                 if p != q:
                     assert (push[p, q] >= 0).sum() == \
                         (recv[q, p] < lyr.dst_cap).sum()
+
+
+def test_dense_nbr_matches_coo_aggregation(sliced):
+    """The dense [K_cap, D_cap] neighbor matrix reproduces the COO
+    scatter-add partial sums exactly (gather-only aggregation — the TPU
+    fast path; padding slots point at the reserved zero row)."""
+    from occ_gnn_tpu.parallel.split import local_aggregate, local_aggregate_dense
+
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    rng = np.random.default_rng(0)
+    for lyr in split_batch.layers:
+        assert lyr.nbr_idx is not None
+        Pn, K, D_cap = lyr.nbr_idx.shape
+        x = rng.standard_normal((Pn, lyr.src_cap, 16)).astype(np.float32)
+        x[:, lyr.src_cap - 1, :] = 0.0  # reserved zero row
+        for p in range(Pn):
+            xp = jnp.asarray(x[p])
+            coo = local_aggregate(
+                xp, lyr.edge_src[p], lyr.edge_dst[p], lyr.dst_cap
+            )
+            dense = local_aggregate_dense(xp, lyr.nbr_idx[p])
+            np.testing.assert_allclose(
+                np.asarray(coo), np.asarray(dense), rtol=1e-5, atol=1e-5
+            )
+
+
+def test_dense_nbr_never_references_reserved_row(sliced):
+    """The slicer never assigns a real src to the reserved zero row, and
+    every valid edge appears exactly once in the dense matrix."""
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    for lyr in split_batch.layers:
+        nbr = np.asarray(lyr.nbr_idx)
+        es = np.asarray(lyr.edge_src)
+        ed = np.asarray(lyr.edge_dst)
+        sentinel = lyr.src_cap - 1
+        for p in range(nbr.shape[0]):
+            valid = ed[p] < lyr.dst_cap
+            # real srcs never use the sentinel id
+            assert (es[p][valid] != sentinel).all()
+            # dense valid entry count == COO valid edge count
+            assert (nbr[p] != sentinel).sum() == valid.sum()
