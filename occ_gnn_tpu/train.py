@@ -33,7 +33,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--graph", type=str, required=True)
     p.add_argument("--data-root", type=str, default="./data")
     p.add_argument("--mode", type=str, default="split",
-                   choices=["split", "single", "ddp", "pa-cache", "infer"])
+                   choices=["split", "single", "ddp", "pa-cache", "quiver",
+                            "infer"])
     p.add_argument("--model-name", type=str, default="sage",
                    choices=["sage", "gcn", "gat"])
     p.add_argument("--cache-per", type=float, default=0.0)
@@ -134,6 +135,8 @@ def main(argv=None):
         metrics = train_split(args, g, fanouts, timers)
     elif args.mode == "ddp":
         metrics = train_ddp(args, g, fanouts, timers)
+    elif args.mode == "quiver":
+        metrics = train_quiver(args, g, fanouts, timers)
     else:
         metrics = train_single(args, g, fanouts, timers,
                                use_cache=(args.mode == "pa-cache"))
@@ -468,6 +471,49 @@ def train_ddp(args, g, fanouts, timers):
               f"time={dt:.2f}s [{timers.summary()}]")
         timers.clear()
     return {"mode": "ddp", "acc": acc, "loss": loss_v, "partitions": P}
+
+
+def train_quiver(args, g, fanouts, timers):
+    """Quiver-baseline analog: device-side dense sampling, replicated
+    feature table, DP psum (reference python/quiver-baseline.py:139-163).
+    The whole step is one XLA program — the host only feeds target ids."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from occ_gnn_tpu.models import SAGEModel
+    from occ_gnn_tpu.parallel.split import make_mesh
+    from occ_gnn_tpu.sampling.device_sampler import DeviceSampleTrainer
+
+    if args.model_name != "sage":
+        raise SystemExit("--mode quiver supports --model-name sage "
+                         "(the reference quiver baseline is SAGE-only)")
+    P = args.partitions or len(jax.devices())
+    mesh = make_mesh(P)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = SAGEModel(g.feature_dim, args.num_hidden, g.num_classes,
+                      len(fanouts), dropout=args.dropout, dtype=dtype)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+    drv = DeviceSampleTrainer(
+        g, fanouts, args.batch_size, mesh, opt, seed=args.seed,
+        dropout_rate=args.dropout, dtype=dtype,
+    )
+    nodes = g.train_nodes()
+    acc = loss_v = 0.0
+    for epoch in range(args.num_epochs):
+        t0 = time.perf_counter()
+        with timers.phase("fused_step"):
+            params, opt_state, loss_v, correct, total = drv.train_epoch(
+                params, opt_state, nodes
+            )
+        acc = correct / max(total, 1)
+        dt = time.perf_counter() - t0
+        print(f"epoch {epoch}: loss={loss_v:.4f} acc={acc:.4f} "
+              f"time={dt:.2f}s [{timers.summary()}]")
+        timers.clear()
+    return {"mode": "quiver", "acc": acc, "loss": loss_v, "partitions": P}
 
 
 def train_single(args, g, fanouts, timers, use_cache: bool):
