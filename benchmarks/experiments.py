@@ -320,7 +320,7 @@ def exp6(args):
     if args.cpu:
         common.append("--cpu")
     results = {}
-    for mode in ("split", "ddp", "pa-cache"):
+    for mode in ("split", "ddp", "pa-cache", "quiver"):
         argv = common + ["--mode", mode]
         if mode in ("split", "pa-cache"):
             argv += ["--cache-per", "0.25"]
