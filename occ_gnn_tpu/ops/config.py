@@ -24,3 +24,25 @@ def use_pallas() -> bool:
 def set_use_pallas(value: bool) -> None:
     global _use_pallas
     _use_pallas = bool(value)
+
+
+_dense_agg: str | None = None
+_DENSE_AGG_CHOICES = ("unrolled", "tiled")
+
+
+def dense_agg_impl() -> str:
+    """Dense fanout-K aggregation lowering: 'unrolled' (one gather per k,
+    XLA materializes each) or 'tiled' (lax.scan over dst tiles keeping the
+    per-tile gather+accumulate chain in VMEM)."""
+    global _dense_agg
+    if _dense_agg is None:
+        v = os.environ.get("OCC_DENSE_AGG", "unrolled")
+        _dense_agg = v if v in _DENSE_AGG_CHOICES else "unrolled"
+    return _dense_agg
+
+
+def set_dense_agg_impl(value: str) -> None:
+    global _dense_agg
+    if value not in _DENSE_AGG_CHOICES:
+        raise ValueError(f"dense_agg impl must be one of {_DENSE_AGG_CHOICES}")
+    _dense_agg = value

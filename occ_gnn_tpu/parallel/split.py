@@ -123,7 +123,30 @@ def local_aggregate_dense(x: jax.Array, nbr_idx: jax.Array):
     frame's reserved zero row, so no mask is needed. Same contract as
     ``local_aggregate``: returns f32[D_cap, H] partial sums.
     """
-    K = nbr_idx.shape[0]
+    from occ_gnn_tpu.ops.config import dense_agg_impl
+
+    K, D = nbr_idx.shape
+    if dense_agg_impl() == "tiled" and D > _DENSE_TILE:
+        # lax.scan over dst tiles: each iteration's gather+accumulate chain
+        # has a small working set, so the f32 accumulator stays in VMEM and
+        # HBM sees only the random row reads plus one output write.
+        nt = -(-D // _DENSE_TILE)
+        dp = nt * _DENSE_TILE
+        pad = jnp.pad(nbr_idx, ((0, 0), (0, dp - D)),
+                      constant_values=x.shape[0] - 1)  # reserved zero row
+        tiles = pad.reshape(K, nt, _DENSE_TILE).transpose(1, 0, 2)
+
+        def body(carry, idx_t):
+            acc = x[idx_t[0]].astype(jnp.float32)
+            for k in range(1, K):
+                acc = acc + x[idx_t[k]].astype(jnp.float32)
+            return carry, acc
+
+        _, out = jax.lax.scan(body, None, tiles)
+        return out.reshape(dp, x.shape[-1])[:D]
+    # Unrolled accumulation: one gather per k, single 26-way add fusion.
+    # (A flat [K*D, H] gather + reduce materializes the f32 intermediate
+    # through HBM: measured +3.5 ms/step at bench shapes.)
     acc = x[nbr_idx[0]].astype(jnp.float32)
     for k in range(1, K):
         acc = acc + x[nbr_idx[k]].astype(jnp.float32)
