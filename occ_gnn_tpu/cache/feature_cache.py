@@ -44,11 +44,16 @@ class CachePlan:
         self.refresh_cap = refresh_cap
         n = graph.num_nodes
         self.static_size = int(cache_percentage * n)
-        self.frame_cap = self.static_size + refresh_cap
         self.node_mask = np.zeros((n, num_partitions), dtype=bool)
         self.global_to_local = np.full((n, num_partitions), -1, dtype=np.int64)
         self.static_nodes: list[np.ndarray] = []
         self.needs_refresh = cache_percentage < (1.0 / num_partitions)
+        if not self.needs_refresh:
+            # cache >= 1/P: every owned node is statically cached, no
+            # per-batch refresh — don't waste frame rows or transfer bytes.
+            refresh_cap = 0
+            self.refresh_cap = 0
+        self.frame_cap = self.static_size + refresh_cap
         out_deg = graph.out_degrees()
         for p in range(num_partitions):
             own = np.nonzero(self.wmap == p)[0]
@@ -83,6 +88,12 @@ class CachePlan:
         # shared cache state is ever mutated concurrently.
         self.static_node_mask = self.node_mask.copy()
         self.static_global_to_local = self.global_to_local.astype(np.int32)
+
+    def dynamic_fill_sizes(self) -> list[int]:
+        """Per-partition count of dynamic-tail nodes staged by the most
+        recent ``refresh`` (0s before the first refresh). Public accessor
+        for capacity measurement — callers must not touch ``_dynamic``."""
+        return [int(d.shape[0]) for d in self._dynamic]
 
     def static_features(self) -> np.ndarray:
         """[P, frame_cap, H] initial frames (tail zeroed)."""

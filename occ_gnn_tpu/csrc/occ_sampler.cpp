@@ -196,6 +196,7 @@ class Worker {
   std::vector<std::vector<int32_t>> foreign_mask_;  // per partition
   std::vector<int32_t> tail_id_;                    // per-sample tail assign
   std::vector<int64_t> tail_nodes_scratch_;
+  std::vector<int64_t> chosen_scratch_;  // reservoir scratch (fanout > 64)
 };
 
 void Worker::sample_raw(const std::vector<int64_t>& batch) {
@@ -235,7 +236,7 @@ void Worker::sample_raw(const std::vector<int64_t>& batch) {
       ls.frame_rank.push_back(owner_cnt[p]++);
     }
     int fanout = cfg_.fanouts[d];
-    int64_t chosen[64];  // without-replacement scratch (fanout <= 64)
+    int64_t chosen_stack[64];  // Floyd's scratch for small fanout
     for (int64_t i = 0; i < n; i++) {
       int64_t v = frontier[i];
       // self loop first (mask already set: src_pos = i)
@@ -246,16 +247,31 @@ void Worker::sample_raw(const std::vector<int64_t>& batch) {
       // fanout < 0 means full neighborhood (reference fanout=-1)
       int64_t take = (fanout < 0 || deg <= fanout) ? deg : fanout;
       bool subsample = take != deg;
-      if (subsample && !cfg_.sample_replace && fanout <= 64) {
-        // Floyd's algorithm: `fanout` distinct offsets from [0, deg)
-        // (DGL sample_neighbors semantics; membership scan is O(fanout)).
+      if (subsample && !cfg_.sample_replace) {
+        // `fanout` DISTINCT offsets from [0, deg) (DGL sample_neighbors
+        // semantics). Small fanout: Floyd's algorithm (O(fanout) linear
+        // membership scans are cache-cheap). Large fanout: reservoir
+        // sampling, Algorithm R (O(deg), no membership scans) — no silent
+        // with-replacement degradation at any fanout.
+        int64_t* chosen = chosen_stack;
         int64_t nc = 0;
-        for (int64_t j = deg - fanout; j < deg; j++) {
-          int64_t t = (int64_t)(rng_.next() % (uint64_t)(j + 1));
-          bool seen = false;
-          for (int64_t k = 0; k < nc; k++)
-            if (chosen[k] == t) { seen = true; break; }
-          chosen[nc++] = seen ? j : t;
+        if (fanout <= 64) {
+          for (int64_t j = deg - fanout; j < deg; j++) {
+            int64_t t = (int64_t)(rng_.next() % (uint64_t)(j + 1));
+            bool seen = false;
+            for (int64_t k = 0; k < nc; k++)
+              if (chosen[k] == t) { seen = true; break; }
+            chosen[nc++] = seen ? j : t;
+          }
+        } else {
+          chosen_scratch_.resize(fanout);
+          chosen = chosen_scratch_.data();
+          for (int64_t j = 0; j < fanout; j++) chosen[j] = j;
+          for (int64_t j = fanout; j < deg; j++) {
+            int64_t t = (int64_t)(rng_.next() % (uint64_t)(j + 1));
+            if (t < fanout) chosen[t] = j;
+          }
+          nc = fanout;
         }
         for (int64_t j = 0; j < nc; j++) {
           int64_t u = cfg_.indices[off + chosen[j]];

@@ -33,11 +33,20 @@ _DENSE_AGG_CHOICES = ("unrolled", "tiled")
 def dense_agg_impl() -> str:
     """Dense fanout-K aggregation lowering: 'unrolled' (one gather per k,
     XLA materializes each) or 'tiled' (lax.scan over dst tiles keeping the
-    per-tile gather+accumulate chain in VMEM)."""
+    per-tile gather+accumulate chain in VMEM).
+
+    Read at TRACE time — the choice is baked into each jit cache entry, so
+    call ``set_dense_agg_impl`` (or set ``OCC_DENSE_AGG``) before the step
+    function first compiles; changing it afterwards has no effect on
+    already-compiled programs (same semantics as ``use_pallas``)."""
     global _dense_agg
     if _dense_agg is None:
         v = os.environ.get("OCC_DENSE_AGG", "unrolled")
-        _dense_agg = v if v in _DENSE_AGG_CHOICES else "unrolled"
+        if v not in _DENSE_AGG_CHOICES:
+            raise ValueError(
+                f"OCC_DENSE_AGG={v!r} is not one of {_DENSE_AGG_CHOICES}"
+            )
+        _dense_agg = v
     return _dense_agg
 
 

@@ -110,6 +110,32 @@ def spmm_sum(
     return segment_sum(msgs, edge_dst, num_dst)
 
 
+def spmm_sym(
+    x_src: jax.Array,
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    num_dst: int,
+    num_src: int,
+) -> jax.Array:
+    """Kipf–Welling symmetric normalization over the sampled block:
+    out[v] = sum_{(u->v)} x[u] / sqrt(d_out(u) * d_in(v)), degrees counted
+    within the block (self-loop edges included by the sampler). The
+    reference's GCN prototype uses plain mean aggregation
+    (src/models/model1.hh:60-100); this is the textbook-GCN variant for
+    users who expect ``norm='sym'`` semantics."""
+    valid = (edge_dst < num_dst).astype(jnp.float32)
+    deg_in = segment_sum(valid, edge_dst, num_dst)
+    deg_out = segment_sum(valid, edge_src, num_src, indices_are_sorted=False)
+    safe_dst = jnp.minimum(edge_dst, num_dst - 1)
+    coeff = valid * jax.lax.rsqrt(
+        jnp.maximum(deg_out[edge_src], 1.0) * jnp.maximum(deg_in[safe_dst], 1.0)
+    )
+    return spmm_sum(
+        x_src.astype(jnp.float32), edge_src, edge_dst, num_dst,
+        edge_weight=coeff,
+    )
+
+
 def spmm_mean(
     x_src: jax.Array,
     edge_src: jax.Array,

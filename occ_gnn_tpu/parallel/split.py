@@ -41,6 +41,11 @@ import numpy as np
 
 static = lambda: dataclasses.field(metadata=dict(static=True), default=0)
 
+# Dst-tile size for the 'tiled' dense-aggregation lowering (lax.scan over
+# dst tiles). 8192 rows keeps the f32 accumulator tile ~3 MB at H=100 —
+# comfortably VMEM-resident (probe_agg.py sweep).
+_DENSE_TILE = 8192
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass

@@ -11,10 +11,14 @@ Design (TPU-first, not a translation):
 
   * The CSR graph lives on device (replicated). Per layer, each frontier
     node draws exactly ``fanout`` neighbors uniformly *with replacement*
-    (``rand % degree`` — the same distribution as the reference C++
-    slicer's ``neighbour_sample``, /root/reference/cslicer/slicer.cpp:6-22).
-    Zero-degree nodes draw themselves (equivalent to the materialized
-    self-loop for isolated nodes, sampler.py:202-203).
+    (``rand % degree``, the reference C++ slicer's draw at
+    /root/reference/cslicer/slicer.cpp:6-22 — but note that slicer takes
+    ALL neighbors exactly once when degree < fanout, while this path
+    always draws ``fanout`` times with replacement: for low-degree nodes
+    the neighbor-mean is still unbiased, with higher variance than the
+    host NeighborSampler's take-all behavior). Zero-degree nodes draw
+    themselves (equivalent to the materialized self-loop for isolated
+    nodes, sampler.py:202-203).
   * No deduplication: the frontier after layer l is
     ``concat(frontier, sampled.flatten())`` — a *dense* multiset of size
     ``S_{l} = S_{l-1} * (1 + fanout_l)``. Every shape is static, every op
@@ -227,7 +231,7 @@ class DeviceSampleTrainer:
         self.mesh = mesh
         self.num_devices = mesh.devices.size
         if batch_size % self.num_devices:
-            raise ValueError("batch_size must divide the mesh size")
+            raise ValueError("batch_size must be divisible by the mesh size")
         self.per_dev = batch_size // self.num_devices
         self.csr = device_csr(graph)
         feats = graph.features if features is None else features

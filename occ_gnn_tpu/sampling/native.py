@@ -155,6 +155,8 @@ class NativeSplitSampler:
             mask_p = self._static_mask.ctypes.data
             g2l_p = self._static_g2l.ctypes.data
             tail_start = plan.tail_start
+            # plan.refresh_cap is 0 when cache >= 1/P (no per-batch
+            # refresh), so no refresh bytes cross host->device each batch.
             refresh_cap = plan.refresh_cap
         else:
             self._static_mask = self._static_g2l = None

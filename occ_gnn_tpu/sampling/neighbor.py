@@ -100,15 +100,23 @@ def sample_layer_edges(
             draws = rng.integers(0, deg[node[lg]])
             e_src_tail[lg] = indices[offs[node[lg]] + draws]
         else:
-            # Without replacement per dst: pick the fanout smallest random
-            # keys among each node's neighbors (vectorized over the unique
-            # large-degree nodes).
+            # Without replacement per dst, fully vectorized: draw one random
+            # key per candidate neighbor of every large-degree node, sort
+            # keys within each node's segment, and take the first ``fanout``
+            # per segment — a uniformly ordered sample without replacement
+            # (no Python loop over nodes; degrees only bound the key count).
             lg_nodes = np.unique(node[lg])
-            for nd in lg_nodes:
-                d = deg[nd]
-                sel = rng.permutation(d)[:fanout]
-                rows = lg & (node == nd)
-                e_src_tail[rows] = indices[offs[nd] + sel]
+            degs = deg[lg_nodes]
+            tot = int(degs.sum())
+            seg = np.repeat(np.arange(lg_nodes.shape[0]), degs)
+            seg_starts = np.cumsum(degs) - degs
+            within = np.arange(tot, dtype=np.int64) - np.repeat(seg_starts, degs)
+            order = np.lexsort((rng.random(tot), seg))
+            # first ``fanout`` entries of each segment, in key order
+            sel = within[order[(seg_starts[:, None]
+                                + np.arange(fanout)[None, :])]]
+            row_seg = np.searchsorted(lg_nodes, node[lg])
+            e_src_tail[lg] = indices[offs[node[lg]] + sel[row_seg, j[lg]]]
     e_src[tail] = e_src_tail
     return e_dst, e_src
 

@@ -526,11 +526,8 @@ def measure_split_capacities(
         )
         if cache_plan is not None:
             plan = getattr(cache_plan, "plan", cache_plan)
-            max_refresh = max(
-                max_refresh,
-                max(int(d.shape[0]) for d in plan._dynamic) if plan._dynamic
-                else 0,
-            )
+            sizes = plan.dynamic_fill_sizes()
+            max_refresh = max(max_refresh, max(sizes) if sizes else 0)
 
     def up(x, m, q):
         return int(-(-max(int(np.ceil(x * m)), q) // q) * q)

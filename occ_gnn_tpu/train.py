@@ -289,19 +289,21 @@ def train_split(args, g, fanouts, timers):
         )
     else:
         caps.pop("refresh_cap", None)
-    def build_sampler(caps):
+    def build_sampler(caps, nodes=None, seed=None):
+        nodes = g.train_nodes() if nodes is None else nodes
+        seed = args.seed if seed is None else seed
         if args.sampler == "native":
             from occ_gnn_tpu.sampling.native import NativeSplitSampler
 
             return NativeSplitSampler(
-                g, g.train_nodes(), pmap, P, fanouts, args.batch_size,
-                capacities=caps, seed=args.seed, cache=cache,
+                g, nodes, pmap, P, fanouts, args.batch_size,
+                capacities=caps, seed=seed, cache=cache,
                 num_workers=args.num_workers,
                 replace=not args.sample_without_replacement,
             )
-        return SplitSampler(g, g.train_nodes(), pmap, P, fanouts,
+        return SplitSampler(g, nodes, pmap, P, fanouts,
                             args.batch_size, capacities=caps,
-                            seed=args.seed, cache=cache,
+                            seed=seed, cache=cache,
                             replace=not args.sample_without_replacement)
 
     sampler = build_sampler(caps)
@@ -333,6 +335,13 @@ def train_split(args, g, fanouts, timers):
         t0 = time.perf_counter()
         correct = total = 0
         try:
+            # Lag-1 pipeline: the host gathers + stages features for batch
+            # n+1 while the device runs step n (JAX dispatch is async; the
+            # blocking int() conversions for step n are deferred until the
+            # next batch's staging is issued). This hides the H2D feature
+            # copy behind device compute in the no-cache path
+            # (reference motivation: exp5's slice/move overlap).
+            pending = None  # (loss, correct, total) of the in-flight step
             for batch in sampler:
                 if cache is not None:
                     xs = cache.frames
@@ -342,11 +351,18 @@ def train_split(args, g, fanouts, timers):
                             gather_features(g.features, batch.input_nodes[p])
                             for p in range(P)
                         ])
+                if pending is not None:
+                    loss, c, t = pending
+                    correct += int(c)
+                    total += int(t)
                 with timers.phase("train_step"):
                     params, opt_state, loss, c, t = step(
                         params, opt_state, batch, xs
                     )
-                    loss = jax.block_until_ready(loss)
+                pending = (loss, c, t)
+            if pending is not None:
+                loss, c, t = pending
+                loss = jax.block_until_ready(loss)
                 correct += int(c)
                 total += int(t)
         except ValueError as e:
@@ -392,9 +408,9 @@ def train_split(args, g, fanouts, timers):
         fwd = make_split_forward(model, mesh)
         for split_name, mask in (("val", g.val_mask), ("test", g.test_mask)):
             nodes = np.nonzero(mask)[0]
-            ev = SplitSampler(g, nodes, pmap, P, fanouts, args.batch_size,
-                              capacities=caps, seed=args.seed + 7,
-                              cache=cache)
+            # Same sampler backend as training (native C++ service or numpy)
+            # so eval shares its perf and RNG source.
+            ev = build_sampler(caps, nodes=nodes, seed=args.seed + 7)
             correct = total = 0
             for batch in ev:
                 if cache is not None:

@@ -13,6 +13,20 @@ from collections import defaultdict
 from contextlib import contextmanager
 
 
+def _trace_annotation(name: str):
+    """jax.profiler.TraceAnnotation for the phase (the NVTX-range analog,
+    reference python/train.py:68) so --profile-dir traces carry phase
+    labels; a no-op nullcontext when jax isn't importable."""
+    try:
+        import jax
+
+        return jax.profiler.TraceAnnotation(name)
+    except Exception:
+        from contextlib import nullcontext
+
+        return nullcontext()
+
+
 class PhaseTimers:
     def __init__(self):
         self.totals = defaultdict(float)
@@ -21,12 +35,13 @@ class PhaseTimers:
     @contextmanager
     def phase(self, name: str):
         t0 = time.perf_counter()
-        try:
-            yield
-        finally:
-            dt = time.perf_counter() - t0
-            self.totals[name] += dt
-            self.counts[name] += 1
+        with _trace_annotation(name):
+            try:
+                yield
+            finally:
+                dt = time.perf_counter() - t0
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def clear(self):
         self.totals.clear()

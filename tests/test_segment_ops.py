@@ -120,3 +120,52 @@ def test_spmm_grad_flows():
     g = jax.grad(f)(x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_spmm_sym_matches_dense_reference():
+    """spmm_sym == dense A_hat @ x with A_hat[v,u] = 1/sqrt(d_out(u) d_in(v)),
+    block-local degrees, padded edges contributing nothing."""
+    from occ_gnn_tpu.ops.segment import spmm_sym
+
+    rng = np.random.default_rng(7)
+    S, D, E, CAP, H = 30, 18, 120, 160, 6
+    src, dst, src_p, dst_p = _random_coo(rng, S, D, E, CAP)
+    x = rng.standard_normal((S, H)).astype(np.float32)
+
+    deg_in = np.bincount(dst, minlength=D).astype(np.float32)
+    deg_out = np.bincount(src, minlength=S).astype(np.float32)
+    golden = np.zeros((D, H), np.float32)
+    for u, v in zip(src, dst):
+        golden[v] += x[u] / np.sqrt(max(deg_out[u], 1) * max(deg_in[v], 1))
+
+    out = np.asarray(spmm_sym(
+        jnp.asarray(x), jnp.asarray(src_p), jnp.asarray(dst_p), D, S
+    ))
+    np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-5)
+
+
+def test_gcn_sym_variant_runs():
+    """GCNModel(norm='sym') trains a step and differs from norm='mean'."""
+    import jax
+
+    from occ_gnn_tpu.models import get_model
+    from occ_gnn_tpu.ops.blocks import block_from_numpy
+    from occ_gnn_tpu.ops.blocks import SampledBatch
+
+    rng = np.random.default_rng(3)
+    n_src, n_dst, E = 24, 10, 60
+    e_src = rng.integers(0, n_src, E).astype(np.int64)
+    e_dst = np.sort(rng.integers(0, n_dst, E)).astype(np.int64)
+    blk = block_from_numpy(e_src, e_dst, num_src=n_src, num_dst=n_dst,
+                           edge_cap=64, dst_cap=16, src_cap=32)
+    batch = SampledBatch(blocks=[blk],
+                         input_nodes=jnp.zeros(32, jnp.int32),
+                         labels=jnp.zeros(16, jnp.int32))
+    x0 = jnp.asarray(rng.standard_normal((32, 5)).astype(np.float32))
+    outs = {}
+    for norm in ("mean", "sym"):
+        m = get_model("gcn", 5, 8, 3, 1, norm=norm)
+        params = m.init(jax.random.PRNGKey(0))
+        outs[norm] = np.asarray(m.apply(params, batch, x0))
+        assert np.isfinite(outs[norm]).all()
+    assert not np.allclose(outs["mean"], outs["sym"])

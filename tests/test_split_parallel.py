@@ -381,6 +381,33 @@ def test_dense_nbr_matches_coo_aggregation(sliced):
             )
 
 
+def test_dense_agg_tiled_matches_unrolled(sliced, monkeypatch):
+    """The 'tiled' lax.scan lowering of the dense aggregation produces the
+    same partial sums as the default 'unrolled' lowering (the tile size is
+    shrunk so the scan path actually engages at test shapes)."""
+    from occ_gnn_tpu.ops import config as ops_config
+    from occ_gnn_tpu.parallel import split as split_mod
+
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    rng = np.random.default_rng(1)
+    monkeypatch.setattr(split_mod, "_DENSE_TILE", 8)
+    lyr = split_batch.layers[0]
+    assert lyr.nbr_idx is not None and lyr.nbr_idx.shape[-1] > 8
+    x = rng.standard_normal((lyr.src_cap, 16)).astype(np.float32)
+    x[lyr.src_cap - 1, :] = 0.0  # reserved zero row
+    xp = jnp.asarray(x)
+    try:
+        ops_config.set_dense_agg_impl("unrolled")
+        unrolled = split_mod.local_aggregate_dense(xp, lyr.nbr_idx[0])
+        ops_config.set_dense_agg_impl("tiled")
+        tiled = split_mod.local_aggregate_dense(xp, lyr.nbr_idx[0])
+    finally:
+        ops_config.set_dense_agg_impl("unrolled")
+    np.testing.assert_allclose(
+        np.asarray(unrolled), np.asarray(tiled), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_dense_nbr_never_references_reserved_row(sliced):
     """The slicer never assigns a real src to the reserved zero row, and
     every valid edge appears exactly once in the dense matrix."""
