@@ -1,24 +1,38 @@
-"""Headline benchmark: full split-parallel training pipeline on one chip.
+"""Headline benchmark: full split-parallel training pipeline on one chip,
+at ogbn-products scale, with a roofline accounting.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} —
+extra keys carry the roofline breakdown (mfu_pct, hbm_pct, step_ms) and
+the measured config so the headline is auditable.
 
 What runs: the flagship path end-to-end — C++ sampling+slicing service
 (pipelined worker threads), per-partition feature cache with dynamic
 refresh, and the jit'd split-parallel training step (forward SpMM stack +
-backward + adam) — on a products-like synthetic graph, 3-layer GraphSAGE,
-fanout [10,10,25], batch 1024, hidden 128 (the reference's flagship
-config: train.py defaults fan-out '10,10,25', batch 1032; exp6 h=128).
+backward + adam) — on a products-scale synthetic graph (2.45M nodes /
+~64M edges / 100-dim features, matching ogbn-products per
+/root/reference/experiments/datasets.md), 3-layer GraphSAGE, fanout
+[10,10,25], batch 1024, hidden 128 (the reference's flagship config:
+train.py defaults fan-out '10,10,25', batch 1032; exp6 h=128).
 Capacities are measured (measure_split_capacities), matching how a
-production config would be tuned.
+production config would be tuned. OCC_BENCH_NODES=200000 reproduces the
+round-1 small-graph number (now the secondary config).
 
 Metric: steady-state pipelined edges/s/chip. The C++ sampling+slicing
 service runs AHEAD of the device (its per-batch host cost is measured and
-reported separately in --verbose; it is below the device step time, so on
-any host with >2 cores it fully overlaps). The timed loop drives the
-jit'd split step over pre-staged device-ready batches — on this bench
-harness the TPU is reached via a loopback relay that shares the 2-core
-host with the samplers, so letting workers run during the timed loop
-starves the relay and measures host contention, not the pipeline.
+reported in the JSON as cxx_sample_ms/cxx_slice_ms; on any host with
+enough cores it overlaps the device step). The timed loop drives the
+jit'd split step over PRE-STAGED device-ready batches — the host pipeline
+is excluded from the timed region (recorded honestly in the JSON's
+"timed" field) because on this bench harness the TPU is reached via a
+loopback relay that shares the 2-core host with the samplers; exp5
+measures the overlap itself.
+
+Roofline: per-step model FLOPs (3x forward matmul FLOPs over the padded
+owned rows: fwd + dX + dW) and model HBM bytes (dense fanout-K gather
+reads + f32 accumulator writes, x2 for the backward scatter) are computed
+from the measured padding capacities and divided by the measured step
+time against chip peaks (defaults: TPU v5e ~197 TFLOP/s bf16,
+~819 GB/s HBM; override with OCC_PEAK_FLOPS / OCC_PEAK_BW).
 
 Baseline: the reference's OCC split-parallel epoch on ogbn-products:
 ~637M sampled edges (190 batches x ~3.35M) in fwd 6.997 + move 11.58 +
@@ -30,16 +44,49 @@ edges/s/GPU full-pipeline. vs_baseline = ours / 0.99M.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_EDGES_PER_S_PER_GPU = 0.99e6
+# TPU v5e (the bench chip): bf16 matmul peak and HBM bandwidth.
+PEAK_FLOPS = float(os.environ.get("OCC_PEAK_FLOPS", 197e12))
+PEAK_BW = float(os.environ.get("OCC_PEAK_BW", 819e9))
+
+
+def model_flops_bytes(caps, feature_dim, hidden, num_classes, x_bytes):
+    """Per-batch model FLOPs + HBM bytes of the split SAGE train step,
+    computed from the padding capacities (padded work is real device
+    work). Aggregation: K_cap row-gathers of the [*, H] frame per dst
+    (reads) + f32 accumulator (writes), x2 for the backward scatter.
+    Matmuls: h = W @ concat(self, mean) on the owned rows; backward adds
+    dX and dW at the same cost each (3x fwd)."""
+    L = len(caps["deg_caps"])
+    dims = [feature_dim] + [hidden] * (L - 1)
+    outs = [hidden] * (L - 1) + [num_classes]
+    flops = 0.0
+    bytes_ = 0.0
+    for l in range(L):
+        K = caps["deg_caps"][l]
+        D = caps["dst_caps"][l]
+        O = caps["out_caps"][l]
+        H_in, H_out = dims[l], outs[l]
+        # dense fanout-K aggregation: fwd gather reads + f32 writes; bwd
+        # re-reads the cotangent and scatters the same volume.
+        agg_read = K * D * H_in * x_bytes
+        agg_write = D * H_in * 4
+        bytes_ += 2.0 * (agg_read + agg_write)
+        flops += 2.0 * K * D * H_in  # adds (fwd) + adds (bwd)
+        # linear on owned rows: [O, 2*H_in] @ [2*H_in, H_out], fwd+dX+dW
+        flops += 3.0 * 2.0 * O * (2 * H_in) * H_out
+        # weight + activation traffic is negligible next to the gathers
+        bytes_ += 2.0 * O * (2 * H_in + H_out) * x_bytes
+    return flops, bytes_
 
 
 def main():
-    import os
-
     import jax
 
     # Persistent compile cache: the tunneled TPU's remote compiles are
@@ -60,14 +107,17 @@ def main():
         plan_split_capacities,
     )
 
-    import sys
-
     use_bf16 = "--f32" not in sys.argv  # bf16 storage is the TPU default
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    x_bytes = 2 if use_bf16 else 4
 
     P = 1  # bench hardware is one chip; the mesh path is identical
-    num_nodes = int(os.environ.get("OCC_BENCH_NODES", 200_000))
-    avg_degree = int(os.environ.get("OCC_BENCH_DEGREE", 15))
+    # ogbn-products scale: 2.45M nodes / ~61M edges / 100-dim features
+    # (experiments/datasets.md). OCC_BENCH_NODES=200000 gives the round-1
+    # small config as a secondary point.
+    num_nodes = int(os.environ.get("OCC_BENCH_NODES", 2_450_000))
+    avg_degree = int(os.environ.get("OCC_BENCH_DEGREE", 25))
+    hidden = 128
     g = random_graph(
         num_nodes=num_nodes, avg_degree=avg_degree, feature_dim=100,
         num_classes=47, seed=0,
@@ -76,8 +126,6 @@ def main():
     fanouts = [10, 10, 25]
     batch_size = 1024
     cache_pct = 0.25
-
-    from occ_gnn_tpu.sampling.slicer import plan_split_capacities
 
     safe = plan_split_capacities(batch_size, fanouts, g.num_nodes, P)
     probe = CachePlan(g, pmap, P, cache_pct,
@@ -95,18 +143,16 @@ def main():
     )
 
     mesh = make_mesh(P)
-    model = SplitSAGE(g.feature_dim, 128, g.num_classes, 3, dtype=dtype)
+    model = SplitSAGE(g.feature_dim, hidden, g.num_classes, 3, dtype=dtype)
     params = model.init(jax.random.PRNGKey(0))
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
     step = make_split_train_step(model, opt, mesh)
 
-    import sys
-
     verbose = "--verbose" in sys.argv
 
     # Phase A: stage batches (host sampling + H2D; workers then go idle).
-    NSTAGE = 12
+    NSTAGE = int(os.environ.get("OCC_BENCH_NSTAGE", 12))
     it = iter(sampler)
     t0 = time.perf_counter()
     staged = []
@@ -138,19 +184,35 @@ def main():
     sampler.close()
 
     eps = avg_edges * iters / dt
+    step_s = dt / iters
+    flops, bts = model_flops_bytes(
+        caps, g.feature_dim, hidden, g.num_classes, x_bytes
+    )
+    mfu = flops / step_s / PEAK_FLOPS
+    hbm = bts / step_s / PEAK_BW
     if verbose:
         print(json.dumps({
             "stage_s_per_batch": round(stage_dt, 4),
-            "step_s_per_batch": round(dt / iters, 4),
             "cxx_sample_s": round(host_stats["sample_s_per_batch"], 4),
             "cxx_slice_s": round(host_stats["slice_s_per_batch"], 4),
-            "edges_per_batch": int(avg_edges),
+            "model_gflops_per_step": round(flops / 1e9, 2),
+            "model_gb_per_step": round(bts / 1e9, 3),
+            "caps": {k: v for k, v in caps.items()},
         }))
     print(json.dumps({
         "metric": "split_pipeline_edges_per_s_per_chip",
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_S_PER_GPU, 3),
+        "graph": f"{num_nodes}n/{g.num_edges}e/products-scale-synthetic",
+        "step_ms": round(step_s * 1e3, 2),
+        "edges_per_batch": int(avg_edges),
+        "mfu_pct": round(100 * mfu, 2),
+        "hbm_roofline_pct": round(100 * hbm, 1),
+        "cxx_sample_ms": round(host_stats["sample_s_per_batch"] * 1e3, 1),
+        "cxx_slice_ms": round(host_stats["slice_s_per_batch"] * 1e3, 1),
+        "timed": "device step loop over pre-staged batches (host pipeline "
+                 "measured separately; overlap covered by exp5)",
     }))
 
 

@@ -1,0 +1,181 @@
+"""papers100M-scale viability run: slicer + compact cache maps at N >= 100M.
+
+The reference's largest dataset is ogbn-papers100M (111M nodes / 1.6B
+edges, /root/reference/experiments/exp6/exp6.txt:14). This script proves
+the data path holds at that node count on one host:
+
+  * synthetic CSR graph at --num-nodes (default 100M) with uniform random
+    in-neighbors (--avg-degree per node),
+  * features memory-mapped on disk (the papers100M ingest mode,
+    data/graph.py memmap support) — never resident in RAM,
+  * CachePlan with COMPACT maps (owner_local[N] int32 + per-partition
+    foreign arrays — the dense [N, P] maps of round 1 were ~16 GB at this
+    scale and are gone),
+  * the C++ sampling+slicing service (NativeSplitSampler) pulling real
+    batches; throughput recorded as sampled edges/s per worker.
+
+Writes one JSON record to benchmarks/results/scale100m.jsonl.
+
+Usage:
+    python benchmarks/scale100m.py                  # full 100M run
+    python benchmarks/scale100m.py --num-nodes 2_000_000   # quick check
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_graph(n: int, avg_degree: int, feature_dim: int, workdir: str,
+                seed: int = 0):
+    from occ_gnn_tpu.data.graph import Graph
+
+    rng = np.random.default_rng(seed)
+    deg = np.full(n, avg_degree, dtype=np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    e = int(indptr[-1])
+    # uniform random sources, generated in chunks to bound peak RSS
+    indices = np.empty(e, dtype=np.int64)
+    chunk = 100_000_000
+    for lo in range(0, e, chunk):
+        hi = min(lo + chunk, e)
+        indices[lo:hi] = rng.integers(0, n, hi - lo, dtype=np.int64)
+    os.makedirs(workdir, exist_ok=True)
+    feat_path = os.path.join(workdir, "features.bin")
+    feats = np.memmap(feat_path, dtype=np.float32, mode="w+",
+                      shape=(n, feature_dim))
+    # fill a small prefix so gathered rows are non-trivial; the rest stays
+    # a sparse file (zeros) — content is irrelevant to slicer throughput
+    feats[:10_000] = rng.standard_normal((10_000, feature_dim)).astype(
+        np.float32
+    )
+    labels = np.zeros(n, dtype=np.int32)
+    return Graph(indptr=indptr, indices=indices, features=feats,
+                 labels=labels, num_classes=2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-nodes", type=int, default=100_000_000)
+    ap.add_argument("--avg-degree", type=int, default=8)
+    ap.add_argument("--feature-dim", type=int, default=16)
+    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=1024)
+    ap.add_argument("--fan-out", type=str, default="10,10,25")
+    ap.add_argument("--cache-per", type=float, default=0.05)
+    ap.add_argument("--num-batches", type=int, default=16)
+    ap.add_argument("--num-workers", type=int, default=2)
+    ap.add_argument("--workdir", type=str, default="/tmp/occ_scale100m")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from occ_gnn_tpu.cache import CachePlan
+    from occ_gnn_tpu.sampling.native import NativeSplitSampler
+    from occ_gnn_tpu.sampling.slicer import (
+        measure_split_capacities,
+        scale_capacities,
+    )
+
+    fanouts = [int(f) for f in args.fan_out.split(",")]
+    P = args.partitions
+    record = {"bench": "scale100m", "num_nodes": args.num_nodes,
+              "avg_degree": args.avg_degree, "partitions": P,
+              "batch_size": args.batch_size, "fanouts": fanouts,
+              "cache_per": args.cache_per}
+
+    t0 = time.perf_counter()
+    g = build_graph(args.num_nodes, args.avg_degree, args.feature_dim,
+                    args.workdir, args.seed)
+    record["build_graph_s"] = round(time.perf_counter() - t0, 2)
+    print(f"graph: {g.num_nodes:,} nodes / {g.num_edges:,} edges "
+          f"({record['build_graph_s']}s)", flush=True)
+
+    t0 = time.perf_counter()
+    pmap = (np.arange(g.num_nodes, dtype=np.int32) % P)  # round-robin
+    record["partition_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    # generous refresh budget: every deepest-frame node could miss
+    probe_caps = measure_split_capacities(
+        g, np.arange(0, g.num_nodes, max(g.num_nodes // 100_000, 1)),
+        pmap, P, fanouts, args.batch_size, num_batches=3, margin=1.3,
+        seed=args.seed,
+    )
+    refresh_cap = probe_caps["frame_caps"][0]
+    record["measure_caps_s"] = round(time.perf_counter() - t0, 2)
+    record["caps"] = {k: v for k, v in probe_caps.items()}
+
+    t0 = time.perf_counter()
+    plan = CachePlan(g, pmap, P, args.cache_per, refresh_cap=refresh_cap)
+    record["cache_plan_s"] = round(time.perf_counter() - t0, 2)
+    map_bytes = (plan.owner_local.nbytes + plan.static_owner_local.nbytes
+                 + plan.wmap.nbytes + plan.foreign_nodes_flat.nbytes
+                 + plan.foreign_local_flat.nbytes)
+    record["cache_map_bytes"] = int(map_bytes)
+    dense_bytes = g.num_nodes * P * (1 + 8)  # round-1 dense [N,P] maps
+    record["dense_map_bytes_avoided"] = int(dense_bytes)
+    print(f"cache maps: {map_bytes/1e9:.2f} GB compact vs "
+          f"{dense_bytes/1e9:.2f} GB dense ({record['cache_plan_s']}s)",
+          flush=True)
+
+    caps = dict(probe_caps)
+    caps.pop("refresh_cap", None)
+    train_nodes = np.random.default_rng(args.seed).choice(
+        g.num_nodes, size=args.batch_size * (args.num_batches + 2),
+        replace=False,
+    )
+    sampler = NativeSplitSampler(
+        g, train_nodes, pmap, P, fanouts, args.batch_size,
+        capacities=caps, seed=args.seed, cache=plan,
+        num_workers=args.num_workers,
+    )
+    try:
+        # warmup (jit the unpack) then timed pulls
+        it = iter(sampler)
+        next(it)
+        t0 = time.perf_counter()
+        n_edges = 0
+        for i, batch in enumerate(it):
+            for lyr in batch.layers:
+                n_edges += int(
+                    (np.asarray(lyr.edge_dst) < lyr.dst_cap).sum()
+                )
+            if i + 1 >= args.num_batches:
+                break
+        wall = time.perf_counter() - t0
+        st = sampler.stats()
+    finally:
+        sampler.close()
+
+    record["batches_timed"] = args.num_batches
+    record["wall_s"] = round(wall, 3)
+    record["edges_sliced"] = int(n_edges)
+    record["edges_per_s_wall"] = round(n_edges / wall, 1)
+    record["sample_s_per_batch"] = round(st["sample_s_per_batch"], 4)
+    record["slice_s_per_batch"] = round(st["slice_s_per_batch"], 4)
+    record["peak_rss_gb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2
+    )
+    print(json.dumps(record), flush=True)
+    os.makedirs("benchmarks/results", exist_ok=True)
+    with open("benchmarks/results/scale100m.jsonl", "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,10 +10,15 @@ TPU re-design of the reference MemoryManager
     of memory_manager.py:51-66), and a *dynamic tail* rebuilt each batch
     by ``refresh`` (memory_manager.py:75-106: evict previous fill, copy
     features of the batch's missing owned nodes).
-  * Host-side maps mirror the reference's: ``node_mask[N, P]`` (is node
-    cached on p — node_gpu_mask) and ``global_to_local[N, P]`` (frame row
-    or -1). The slicer reads them to route cache-aware "natural" edges and
-    to emit frame-local src indices.
+  * Host-side maps are COMPACT (papers100M-viable), unlike the reference's
+    dense ``node_gpu_mask[N, 4]`` / ``global_to_local[N, 4]``
+    (memory_manager.py:17-106 — ~16 GB at N=111M): one ``owner_local[N]``
+    int32 (frame row on the node's OWNER partition, -1 if uncached; a node
+    is statically cached only on its owner except for the high-degree
+    foreign extras) plus per-partition sorted ``foreign_nodes``/
+    ``foreign_local`` arrays for those extras (empty when cache <= 1/P).
+    The slicer queries them through ``cached_on``/``local_rows`` to route
+    cache-aware "natural" edges and emit frame-local src indices.
   * Device updates are static-shaped: one ``frames.at[:, S:, :].set(tail)``
     per batch, so the training step never recompiles.
 """
@@ -39,13 +44,11 @@ class CachePlan:
         assert 0.0 < cache_percentage <= 1.0
         self.graph = graph
         self.P = num_partitions
-        self.wmap = np.asarray(partition_map, dtype=np.int64)
+        self.wmap = np.asarray(partition_map, dtype=np.int32)
         self.cache_percentage = cache_percentage
         self.refresh_cap = refresh_cap
         n = graph.num_nodes
         self.static_size = int(cache_percentage * n)
-        self.node_mask = np.zeros((n, num_partitions), dtype=bool)
-        self.global_to_local = np.full((n, num_partitions), -1, dtype=np.int64)
         self.static_nodes: list[np.ndarray] = []
         self.needs_refresh = cache_percentage < (1.0 / num_partitions)
         if not self.needs_refresh:
@@ -53,6 +56,12 @@ class CachePlan:
             # per-batch refresh — don't waste frame rows or transfer bytes.
             refresh_cap = 0
             self.refresh_cap = 0
+        # Compact maps: frame row on the node's OWNER (static region first,
+        # dynamic tail rows added by refresh), plus per-partition sorted
+        # (global id -> frame row) arrays for foreign high-degree extras.
+        self.owner_local = np.full(n, -1, dtype=np.int32)
+        self.foreign_nodes: list[np.ndarray] = []
+        self.foreign_local: list[np.ndarray] = []
         self.frame_cap = self.static_size + refresh_cap
         out_deg = graph.out_degrees()
         for p in range(num_partitions):
@@ -60,18 +69,33 @@ class CachePlan:
             if self.needs_refresh:
                 order = np.argsort(-out_deg[own], kind="stable")
                 cached = own[order[: self.static_size]]
+                self.owner_local[cached] = np.arange(
+                    cached.shape[0], dtype=np.int32
+                )
+                fsorted = np.empty(0, dtype=np.int64)
+                flocal = np.empty(0, dtype=np.int32)
             else:
                 foreign = np.nonzero(self.wmap != p)[0]
                 order = np.argsort(-out_deg[foreign], kind="stable")
                 extra = max(self.static_size - own.shape[0], 0)
-                cached = np.concatenate([own, foreign[order[:extra]]])
+                fsel = foreign[order[:extra]]
+                cached = np.concatenate([own, fsel])
+                self.owner_local[own] = np.arange(
+                    own.shape[0], dtype=np.int32
+                )
+                frows = own.shape[0] + np.arange(
+                    fsel.shape[0], dtype=np.int64
+                )
+                s = np.argsort(fsel, kind="stable")
+                fsorted = fsel[s]
+                flocal = frows[s].astype(np.int32)
                 # static region is sized for the worst partition
                 self.frame_cap = max(
                     self.frame_cap, cached.shape[0] + refresh_cap
                 )
             self.static_nodes.append(cached)
-            self.node_mask[cached, p] = True
-            self.global_to_local[cached, p] = np.arange(cached.shape[0])
+            self.foreign_nodes.append(fsorted)
+            self.foreign_local.append(flocal)
         self.static_sizes = np.array(
             [c.shape[0] for c in self.static_nodes], dtype=np.int64
         )
@@ -83,11 +107,65 @@ class CachePlan:
         self._dynamic: list[np.ndarray] = [
             np.empty(0, dtype=np.int64) for _ in range(num_partitions)
         ]
-        # Static-only snapshots for the C++ service: workers read these
-        # immutable maps and assign dynamic-tail ids per sample, so no
-        # shared cache state is ever mutated concurrently.
-        self.static_node_mask = self.node_mask.copy()
-        self.static_global_to_local = self.global_to_local.astype(np.int32)
+        # Static-only snapshot + flat foreign arrays for the C++ service:
+        # workers read these immutable maps and assign dynamic-tail ids per
+        # sample, so no shared cache state is ever mutated concurrently.
+        self.static_owner_local = self.owner_local.copy()
+        sizes = [f.shape[0] for f in self.foreign_nodes]
+        self.foreign_offsets = np.zeros(num_partitions + 1, dtype=np.int64)
+        np.cumsum(sizes, out=self.foreign_offsets[1:])
+        self.foreign_nodes_flat = (
+            np.concatenate(self.foreign_nodes)
+            if self.foreign_offsets[-1] else np.empty(0, np.int64)
+        )
+        self.foreign_local_flat = (
+            np.concatenate(self.foreign_local)
+            if self.foreign_offsets[-1] else np.empty(0, np.int32)
+        )
+
+    # -- compact-map queries (elementwise over (node, partition) pairs) ----
+
+    def _foreign_rows(self, nodes: np.ndarray, p: int) -> np.ndarray:
+        """Frame rows of ``nodes`` among partition p's foreign extras
+        (-1 where absent)."""
+        fn = self.foreign_nodes[p]
+        out = np.full(nodes.shape, -1, dtype=np.int64)
+        if fn.size:
+            idx = np.minimum(np.searchsorted(fn, nodes), fn.size - 1)
+            hit = fn[idx] == nodes
+            out[hit] = self.foreign_local[p][idx[hit]]
+        return out
+
+    def cached_on(self, nodes: np.ndarray, parts) -> np.ndarray:
+        """Elementwise: is node cached on partition (static region or the
+        current dynamic tail)? Replaces the dense node_mask[N, P]."""
+        nodes = np.asarray(nodes, dtype=np.int64)
+        parts = np.broadcast_to(np.asarray(parts), nodes.shape)
+        res = (self.wmap[nodes] == parts) & (self.owner_local[nodes] >= 0)
+        for p in range(self.P):
+            if self.foreign_nodes[p].size:
+                m = parts == p
+                if m.any():
+                    res[m] |= self._foreign_rows(nodes[m], p) >= 0
+        return res
+
+    def local_rows(self, nodes: np.ndarray, parts) -> np.ndarray:
+        """Elementwise frame row of node on partition (-1 if uncached).
+        Replaces the dense global_to_local[N, P]."""
+        nodes = np.asarray(nodes, dtype=np.int64)
+        parts = np.broadcast_to(np.asarray(parts), nodes.shape)
+        out = np.where(
+            self.wmap[nodes] == parts,
+            self.owner_local[nodes].astype(np.int64),
+            -1,
+        )
+        for p in range(self.P):
+            if self.foreign_nodes[p].size:
+                m = (parts == p) & (out < 0)
+                if m.any():
+                    fr = self._foreign_rows(nodes[m], p)
+                    out[m] = np.where(fr >= 0, fr, out[m])
+        return out
 
     def dynamic_fill_sizes(self) -> list[int]:
         """Per-partition count of dynamic-tail nodes staged by the most
@@ -114,15 +192,14 @@ class CachePlan:
         for p in range(self.P):
             prev = self._dynamic[p]
             if prev.size:
-                self.global_to_local[prev, p] = -1
-                self.node_mask[prev, p] = False
+                self.owner_local[prev] = -1
             self._dynamic[p] = np.empty(0, dtype=np.int64)
         nodes = np.asarray(last_layer_nodes, dtype=np.int64)
         H = self.graph.feature_dim
         tail = np.zeros((self.P, self.refresh_cap, H), dtype=np.float32)
         for p in range(self.P):
             own = nodes[self.wmap[nodes] == p]
-            missing = own[self.global_to_local[own, p] == -1]
+            missing = own[self.owner_local[own] == -1]
             if missing.shape[0] > self.refresh_cap:
                 raise ValueError(
                     f"refresh overflow: partition {p} misses "
@@ -132,8 +209,9 @@ class CachePlan:
             k = missing.shape[0]
             if k:
                 tail[p, :k] = self.graph.features[missing]
-                self.global_to_local[missing, p] = self.tail_start + np.arange(k)
-                self.node_mask[missing, p] = True
+                self.owner_local[missing] = self.tail_start + np.arange(
+                    k, dtype=np.int32
+                )
                 self._dynamic[p] = missing
         return tail
 

@@ -62,8 +62,28 @@ struct Config {
   // (full-neighborhood layers have unbounded degree).
   int64_t deg_caps[MAX_LAYERS] = {0};
   // optional cache
-  const uint8_t* static_mask = nullptr;  // [N, P] row-major
-  const int32_t* static_g2l = nullptr;   // [N, P]
+  // Compact cache maps (papers100M-viable; the dense [N, P] maps of the
+  // reference MemoryManager would be ~16 GB at N=111M):
+  //   owner_local[N]   frame row of node on its OWNER partition, -1 if not
+  //                    statically cached there
+  //   foreign_off[P+1] / foreign_nodes / foreign_local: per-partition
+  //                    sorted (global id -> frame row) high-degree foreign
+  //                    extras (empty when cache_pct <= 1/P)
+  const int32_t* owner_local = nullptr;
+  const int64_t* foreign_off = nullptr;
+  const int64_t* foreign_nodes = nullptr;
+  const int32_t* foreign_local = nullptr;
+
+  // Frame row of u among partition p's foreign extras, -1 if absent.
+  inline int32_t foreign_row(int64_t u, int p) const {
+    if (!foreign_off) return -1;
+    const int64_t* lo = foreign_nodes + foreign_off[p];
+    const int64_t* hi = foreign_nodes + foreign_off[p + 1];
+    const int64_t* it = std::lower_bound(lo, hi, u);
+    if (it != hi && *it == u)
+      return foreign_local[foreign_off[p] + (it - lo)];
+    return -1;
+  }
   int64_t tail_start = 0;
   int64_t refresh_cap = 0;
   int64_t cache_frame_cap = 0;
@@ -171,7 +191,7 @@ class Worker {
     for (int l = 0; l <= cfg.L; l++)
       max_frontier = std::max(max_frontier, cfg.frame_caps[l] * cfg.P + 8);
     for (int p = 0; p < cfg.P; p++) foreign_mask_[p].assign(max_frontier, 0);
-    if (cfg.static_g2l) tail_id_.assign(cfg.num_nodes, -1);
+    if (cfg.owner_local) tail_id_.assign(cfg.num_nodes, -1);
     layers_.resize(cfg.L);
   }
 
@@ -332,7 +352,7 @@ bool Worker::slice_layer(int l, Sample* out) {
   const int64_t D_cap = cfg_.dst_caps[l];
   const int64_t O_cap = cfg_.out_caps[l];
   const int64_t S_cap = cfg_.shuffle_caps[l];
-  const bool use_cache = (l == 0) && cfg_.static_g2l != nullptr;
+  const bool use_cache = (l == 0) && cfg_.owner_local != nullptr;
 
   Sample::Layer& L = out->layers[l];
   const int64_t K_cap = cfg_.deg_caps[l];
@@ -381,9 +401,12 @@ bool Worker::slice_layer(int l, Sample* out) {
   std::vector<std::vector<Edge>> own_e(P), for_e(P);
   std::vector<std::vector<int32_t>> foreign_rows(P);  // frontier rows
   auto cache_local = [&](int64_t u, int p) -> int32_t {
-    int32_t g = cfg_.static_g2l[u * P + p];
-    if (g >= 0) return g;
-    return tail_id_[u];  // assigned in the deepest-frame pre-pass
+    if (cfg_.wmap[u] == p) {
+      int32_t g = cfg_.owner_local[u];
+      if (g >= 0) return g;
+      return tail_id_[u];  // assigned in the deepest-frame pre-pass
+    }
+    return cfg_.foreign_row(u, p);  // high-degree foreign extra
   };
   for (const Edge& e : ls.edges) {
     int64_t i = e.dst_row;
@@ -392,7 +415,9 @@ bool Worker::slice_layer(int l, Sample* out) {
     int32_t src_local;
     if (use_cache) {
       int q = dst_owner[i];
-      bool natural = cfg_.static_mask[u_global * P + q];
+      bool natural =
+          (cfg_.wmap[u_global] == q && cfg_.owner_local[u_global] >= 0) ||
+          cfg_.foreign_row(u_global, q) >= 0;
       p = natural ? q : cfg_.wmap[u_global];
       src_local = cache_local(u_global, p);
       if (src_local < 0) {
@@ -537,12 +562,12 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out,
   // Cache: assign per-sample dynamic tail ids in deepest-frame order
   // (identical to CachePlan.refresh ordering) and emit the refresh list.
   tail_nodes_scratch_.clear();
-  if (cfg_.static_g2l) {
+  if (cfg_.owner_local) {
     out->refresh_nodes.assign((size_t)P * cfg_.refresh_cap, -1);
     std::vector<int64_t> tail_cnt(P, 0);
     for (int64_t u : deepest.frame) {
       int p = cfg_.wmap[u];
-      if (cfg_.static_g2l[(int64_t)u * P + p] < 0 && tail_id_[u] < 0) {
+      if (cfg_.owner_local[u] < 0 && tail_id_[u] < 0) {
         int64_t c = tail_cnt[p]++;
         if (c >= cfg_.refresh_cap) {
           out->error = 6;  // refresh overflow
@@ -660,7 +685,8 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
                  const int64_t* edge_caps, const int64_t* dst_caps,
                  const int64_t* out_caps, const int64_t* shuffle_caps,
                  const int64_t* deg_caps,
-                 const uint8_t* static_mask, const int32_t* static_g2l,
+                 const int32_t* owner_local, const int64_t* foreign_off,
+                 const int64_t* foreign_nodes, const int32_t* foreign_local,
                  int64_t tail_start, int64_t refresh_cap, int32_t num_workers,
                  int32_t queue_depth, uint64_t seed,
                  int32_t sample_replace) {
@@ -681,8 +707,10 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
     c.deg_caps[i] = deg_caps ? deg_caps[i] : -1;
   }
   for (int i = 0; i <= L; i++) c.frame_caps[i] = frame_caps[i];
-  c.static_mask = static_mask;
-  c.static_g2l = static_g2l;
+  c.owner_local = owner_local;
+  c.foreign_off = foreign_off;
+  c.foreign_nodes = foreign_nodes;
+  c.foreign_local = foreign_local;
   c.tail_start = tail_start;
   c.refresh_cap = refresh_cap;
   c.sample_replace = sample_replace;
@@ -739,7 +767,7 @@ int32_t occ_next(void* handle, void** field_ptrs, int64_t* seq_out) {
     };
     cp(s->input_nodes.data(), s->input_nodes.size() * 4);
     cp(s->targets.data(), s->targets.size() * 4);
-    if (c.static_g2l) cp(s->refresh_nodes.data(),
+    if (c.owner_local) cp(s->refresh_nodes.data(),
                          s->refresh_nodes.size() * 4);
   }
   svc->put_buffer(s);

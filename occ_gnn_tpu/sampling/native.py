@@ -55,8 +55,10 @@ def load_library():
         ctypes.c_void_p,  # out_caps
         ctypes.c_void_p,  # shuffle_caps
         ctypes.c_void_p,  # deg_caps
-        ctypes.c_void_p,  # static_mask
-        ctypes.c_void_p,  # static_g2l
+        ctypes.c_void_p,  # owner_local (int32[N], static snapshot)
+        ctypes.c_void_p,  # foreign_off (int64[P+1])
+        ctypes.c_void_p,  # foreign_nodes (int64, flat sorted)
+        ctypes.c_void_p,  # foreign_local (int32, flat)
         ctypes.c_int64,  # tail_start
         ctypes.c_int64,  # refresh_cap
         ctypes.c_int32,  # num_workers
@@ -144,23 +146,34 @@ class NativeSplitSampler:
         )
         self.caps["deg_caps"] = [int(x) for x in self._deg_caps]
         if plan is not None:
-            # Static-only maps: dynamic tail ids are assigned per sample
-            # inside the workers (no shared mutable state).
-            self._static_mask = np.ascontiguousarray(
-                plan.static_node_mask, dtype=np.uint8
+            # Static-only compact maps: dynamic tail ids are assigned per
+            # sample inside the workers (no shared mutable state).
+            self._owner_local = np.ascontiguousarray(
+                plan.static_owner_local, dtype=np.int32
             )
-            self._static_g2l = np.ascontiguousarray(
-                plan.static_global_to_local, dtype=np.int32
+            self._foreign_off = np.ascontiguousarray(
+                plan.foreign_offsets, dtype=np.int64
             )
-            mask_p = self._static_mask.ctypes.data
-            g2l_p = self._static_g2l.ctypes.data
+            self._foreign_nodes = np.ascontiguousarray(
+                plan.foreign_nodes_flat, dtype=np.int64
+            )
+            self._foreign_local = np.ascontiguousarray(
+                plan.foreign_local_flat, dtype=np.int32
+            )
+            owner_p = self._owner_local.ctypes.data
+            foff_p = self._foreign_off.ctypes.data
+            fnod_p = (self._foreign_nodes.ctypes.data
+                      if self._foreign_nodes.size else None)
+            floc_p = (self._foreign_local.ctypes.data
+                      if self._foreign_local.size else None)
             tail_start = plan.tail_start
             # plan.refresh_cap is 0 when cache >= 1/P (no per-batch
             # refresh), so no refresh bytes cross host->device each batch.
             refresh_cap = plan.refresh_cap
         else:
-            self._static_mask = self._static_g2l = None
-            mask_p = g2l_p = None
+            self._owner_local = self._foreign_off = None
+            self._foreign_nodes = self._foreign_local = None
+            owner_p = foff_p = fnod_p = floc_p = None
             tail_start = refresh_cap = 0
         self.refresh_cap = refresh_cap
 
@@ -178,8 +191,10 @@ class NativeSplitSampler:
             self._out_caps.ctypes.data,
             self._shuffle_caps.ctypes.data,
             self._deg_caps.ctypes.data,
-            mask_p,
-            g2l_p,
+            owner_p,
+            foff_p,
+            fnod_p,
+            floc_p,
             tail_start,
             refresh_cap,
             num_workers,

@@ -284,14 +284,14 @@ class SplitSampler:
             # the dst's owner) run on the dst owner shuffle-free; the rest
             # route to the src's owner, where refresh guarantees presence.
             plan = self.cache_plan
-            natural = plan.node_mask[src_global, e_dst_owner]
+            natural = plan.cached_on(src_global, e_dst_owner)
             e_route = np.where(natural, e_dst_owner, wmap[src_global])
-            e_src_local = plan.global_to_local[src_global, e_route]
+            e_src_local = plan.local_rows(src_global, e_route)
             assert (e_src_local >= 0).all(), "routed src missing from cache"
             F_cap = plan.frame_cap
-            own_feature_row = lambda nodes_global, p: plan.global_to_local[
+            own_feature_row = lambda nodes_global, p: plan.local_rows(
                 nodes_global, p
-            ]
+            )
         else:
             src_frame_pos = rl.rank[np.searchsorted(rl.uniq, src_global)]
             e_route = frame_owner[src_frame_pos]   # partition owning the src

@@ -56,7 +56,7 @@ def test_cache_refresh_evicts_and_fills(small_graph):
     tail1 = plan.refresh(batch1)
     # every batch node is now present on its owner
     owners = pmap[batch1]
-    assert (plan.global_to_local[batch1, owners] >= 0).all()
+    assert (plan.local_rows(batch1, owners) >= 0).all()
     # staged tail rows carry the right features
     for p in range(P):
         miss = plan._dynamic[p]
@@ -70,8 +70,8 @@ def test_cache_refresh_evicts_and_fills(small_graph):
     # previous dynamic fill was evicted unless re-added for batch2
     for p in range(P):
         gone = np.setdiff1d(dyn1[p], plan._dynamic[p])
-        assert (plan.global_to_local[gone, p] == -1).all()
-        assert not plan.node_mask[gone, p].any()
+        assert (plan.local_rows(gone, p) == -1).all()
+        assert not plan.cached_on(gone, p).any()
 
 
 def test_refresh_overflow_raises(small_graph):
@@ -164,3 +164,43 @@ def test_single_chip_cache_hit_rate_and_assembly(small_graph):
     assert 0.0 < cache.hit_rate <= 1.0
     # High-degree nodes are cached, so hit rate should beat the cache pct.
     assert cache.hit_rate > 0.3
+
+
+def test_compact_maps_match_dense_reference(small_graph):
+    """The compact maps (owner_local + per-partition foreign arrays) answer
+    cached_on/local_rows exactly like a brute-force dense [N, P]
+    reconstruction from static_nodes, in BOTH cache regimes (<= 1/P: owner
+    only; > 1/P: foreign high-degree extras)."""
+    g = small_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    for pct in (0.05, 0.5):
+        plan = CachePlan(g, pmap, P, cache_percentage=pct, refresh_cap=64)
+        n = g.num_nodes
+        dense_mask = np.zeros((n, P), bool)
+        dense_g2l = np.full((n, P), -1, np.int64)
+        for p in range(P):
+            rows = plan.static_nodes[p]
+            dense_mask[rows, p] = True
+            dense_g2l[rows, p] = np.arange(rows.shape[0])
+        rng = np.random.default_rng(0)
+        nodes = rng.integers(0, n, 5000)
+        parts = rng.integers(0, P, 5000)
+        np.testing.assert_array_equal(
+            plan.cached_on(nodes, parts), dense_mask[nodes, parts]
+        )
+        np.testing.assert_array_equal(
+            plan.local_rows(nodes, parts), dense_g2l[nodes, parts]
+        )
+
+
+def test_cache_plan_memory_is_O_N_not_O_NP(small_graph):
+    """papers100M viability: no [N, P] host map exists; per-node state is
+    one int32 row (owner_local) plus wmap."""
+    g = small_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    plan = CachePlan(g, pmap, P, cache_percentage=0.1, refresh_cap=32)
+    assert not hasattr(plan, "node_mask")
+    assert not hasattr(plan, "global_to_local")
+    assert plan.owner_local.dtype == np.int32
+    assert plan.owner_local.shape == (g.num_nodes,)
+    assert plan.static_owner_local.nbytes == 4 * g.num_nodes
