@@ -99,7 +99,11 @@ def main():
 
     from occ_gnn_tpu.cache import CachePlan, SplitFeatureCache
     from occ_gnn_tpu.data import random_graph
-    from occ_gnn_tpu.parallel.model import SplitSAGE, make_split_train_step
+    from occ_gnn_tpu.parallel.model import (
+        SplitGAT,
+        SplitSAGE,
+        make_split_train_step,
+    )
     from occ_gnn_tpu.parallel.split import make_mesh
     from occ_gnn_tpu.sampling.native import NativeSplitSampler
     from occ_gnn_tpu.sampling.slicer import (
@@ -143,7 +147,16 @@ def main():
     )
 
     mesh = make_mesh(P)
-    model = SplitSAGE(g.feature_dim, hidden, g.num_classes, 3, dtype=dtype)
+    # OCC_BENCH_MODEL=gat benches distributed GAT (dense fanout-K
+    # attention) — the component the reference stubbed
+    # (dist_gatconv.py:3-6); default is the flagship SAGE config.
+    model_name = os.environ.get("OCC_BENCH_MODEL", "sage")
+    if model_name == "gat":
+        model = SplitGAT(g.feature_dim, 32, g.num_classes, 3, num_heads=4,
+                         dtype=dtype)
+    else:
+        model = SplitSAGE(g.feature_dim, hidden, g.num_classes, 3,
+                          dtype=dtype)
     params = model.init(jax.random.PRNGKey(0))
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
@@ -185,11 +198,15 @@ def main():
 
     eps = avg_edges * iters / dt
     step_s = dt / iters
-    flops, bts = model_flops_bytes(
-        caps, g.feature_dim, hidden, g.num_classes, x_bytes
-    )
-    mfu = flops / step_s / PEAK_FLOPS
-    hbm = bts / step_s / PEAK_BW
+    if model_name == "sage":
+        flops, bts = model_flops_bytes(
+            caps, g.feature_dim, hidden, g.num_classes, x_bytes
+        )
+        mfu = flops / step_s / PEAK_FLOPS
+        hbm = bts / step_s / PEAK_BW
+    else:  # roofline model is SAGE-specific
+        flops = bts = 0.0
+        mfu = hbm = None
     if verbose:
         print(json.dumps({
             "stage_s_per_batch": round(stage_dt, 4),
@@ -204,11 +221,13 @@ def main():
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_S_PER_GPU, 3),
-        "graph": f"{num_nodes}n/{g.num_edges}e/products-scale-synthetic",
+        "model": model_name,
+        "graph": f"{num_nodes}n/{g.num_edges}e/synthetic"
+                 + ("/products-scale" if num_nodes >= 2_400_000 else ""),
         "step_ms": round(step_s * 1e3, 2),
         "edges_per_batch": int(avg_edges),
-        "mfu_pct": round(100 * mfu, 2),
-        "hbm_roofline_pct": round(100 * hbm, 1),
+        "mfu_pct": round(100 * mfu, 2) if mfu is not None else None,
+        "hbm_roofline_pct": round(100 * hbm, 1) if hbm is not None else None,
         "cxx_sample_ms": round(host_stats["sample_s_per_batch"] * 1e3, 1),
         "cxx_slice_ms": round(host_stats["slice_s_per_batch"] * 1e3, 1),
         "timed": "device step loop over pre-staged batches (host pipeline "

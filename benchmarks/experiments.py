@@ -99,9 +99,12 @@ def exp1(args):
 
 def exp2(args):
     """Full-graph partitioned aggregation (reference exp2: move/aggr/merge
-    cost for full-graph 4-GPU aggregation under METIS vs naive partition).
-    Uses fanout=-1 (full neighborhood) over one layer and times the
-    sharded aggregate+shuffle step per partition mode."""
+    cost for full-graph 4-GPU aggregation under METIS vs naive partition,
+    /root/reference/experiments/exp2/exp2.txt:54 — timed over the ENTIRE
+    graph, not a minibatch). One fanout=-1 layer whose targets are ALL
+    nodes: every edge of the graph aggregates once, partials shuffle to
+    their owners. Times feature movement (host gather + H2D) and the
+    sharded aggregate+shuffle separately per partition mode."""
     import jax
     import jax.numpy as jnp
 
@@ -117,17 +120,19 @@ def exp2(args):
     model = SplitGCN(g.feature_dim, 32, g.num_classes, 1)
     params = model.init(jax.random.PRNGKey(0))
     fwd = make_split_forward(model, mesh)
-    nodes = g.train_nodes()[: args.batch_size]
+    all_nodes = np.arange(g.num_nodes, dtype=np.int64)
     rows = []
     for mode in ("round_robin", "greedy"):
         pmap = partition_graph(g, P, mode=mode, attach=False)
-        s = SplitSampler(g, g.train_nodes(), pmap, P, [-1], args.batch_size,
-                         seed=0)
-        batch = s.sample_batch(nodes)
+        s = SplitSampler(g, all_nodes, pmap, P, [-1], g.num_nodes, seed=0)
+        batch = s.sample_batch(all_nodes)
+        t0 = time.perf_counter()
         xs = jnp.stack([
             gather_features(g.features, np.asarray(batch.input_nodes)[p])
             for p in range(P)
         ])
+        jax.block_until_ready(xs)
+        t_move = time.perf_counter() - t0
         out = fwd(params, batch, xs)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
@@ -139,15 +144,19 @@ def exp2(args):
                       for l in batch.layers)
         edges = sum(int((np.asarray(l.edge_dst) < l.dst_cap).sum())
                     for l in batch.layers)
-        rows.append((mode, edges, shuffle, dt))
-    _record("exp2", {"rows": [
+        assert edges == g.num_edges + g.num_nodes, \
+            "full-graph slice must cover every edge (+ self loops)"
+        rows.append((mode, edges, shuffle, t_move, dt))
+    _record("exp2", {"full_graph": True, "num_nodes": g.num_nodes,
+                     "num_edges": g.num_edges, "rows": [
         {"partition": m, "edges": e, "shuffle_rows": sh,
-         "aggr_s": round(t, 4)} for m, e, sh, t in rows
+         "move_s": round(tm, 4), "aggr_merge_s": round(t, 4)}
+        for m, e, sh, tm, t in rows
     ]})
-    print("| partition | edges | shuffle rows | aggregate+shuffle s |")
-    print("|---|---|---|---|")
-    for m, e, sh, t in rows:
-        print(f"| {m} | {e} | {sh} | {t:.4f} |")
+    print("| partition | edges | shuffle rows | move s | aggr+merge s |")
+    print("|---|---|---|---|---|")
+    for m, e, sh, tm, t in rows:
+        print(f"| {m} | {e} | {sh} | {tm:.4f} | {t:.4f} |")
 
 
 def exp3(args):
@@ -308,15 +317,19 @@ def exp5(args):
 
 
 def exp6(args):
-    """OCC (split) vs DDP vs PaGraph-cache phase table (reference exp6)."""
+    """OCC (split) vs DDP vs PaGraph-cache vs Quiver (reference exp6,
+    /root/reference/experiments/exp6/exp6.txt) on a LEARNABLE community
+    graph (block structure predicts labels — final accuracy is
+    meaningful, unlike a random-label graph) with a per-mode phase table
+    (sample/slice/feature-load/step) from the trainers' PhaseTimers."""
     from occ_gnn_tpu import train as trainer
 
-    common = ["--graph", "random", "--num-nodes", str(args.num_nodes),
+    common = ["--graph", "community", "--num-nodes", str(args.num_nodes),
               "--avg-degree", str(args.avg_degree),
               "--feature-dim", str(args.feature_dim),
               "--fan-out", args.fan_out,
               "--batch-size", str(args.batch_size),
-              "--num-hidden", "64", "--num-epochs", "2"]
+              "--num-hidden", "64", "--num-epochs", "3"]
     if args.cpu:
         common.append("--cpu")
     results = {}
@@ -330,11 +343,25 @@ def exp6(args):
         m = trainer.main(argv)
         m["wall_s"] = round(time.perf_counter() - t0, 2)
         results[mode] = m
+    # Context the raw walls need: on the virtual CPU mesh all 8 "chips"
+    # share the host cores, so split's 8-partition shard_map step and its
+    # host slicing COMPETE for the same CPUs that pa-cache's single-device
+    # path has to itself — wall-clock ranking here reflects host-core
+    # contention, not the TPU pipeline (exp5 and bench.py measure that).
+    results["note"] = (
+        "CPU-mesh walls: 8 emulated devices share the host cores; "
+        "single-device modes (pa-cache) avoid the 8-way shard_map "
+        "emulation + slicing overhead. Device-step cost and overlap on "
+        "real chips are covered by bench.py and exp5."
+    )
     _record("exp6", results)
-    print("| mode | final acc | wall s |")
-    print("|---|---|---|")
+    print("| mode | final acc | wall s | phases (last epoch) |")
+    print("|---|---|---|---|")
     for mode, m in results.items():
-        print(f"| {mode} | {m['acc']:.4f} | {m['wall_s']} |")
+        if not isinstance(m, dict):
+            continue
+        ph = " ".join(f"{k}={v}" for k, v in m.get("phases", {}).items())
+        print(f"| {mode} | {m['acc']:.4f} | {m['wall_s']} | {ph} |")
 
 
 def main(argv=None):

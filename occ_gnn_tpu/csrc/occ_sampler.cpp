@@ -88,6 +88,14 @@ struct Config {
   int64_t refresh_cap = 0;
   int64_t cache_frame_cap = 0;
   int32_t sample_replace = 1;  // 1: rand%deg (reference slicer.cpp); 0: DGL
+  // Multi-host work sharding: emit padded arrays only for partitions in
+  // [emit_lo, emit_hi) — each host builds just its local rows (routing and
+  // error checks stay global so every host agrees on each batch), so
+  // per-host slicing work scales ~1/num_hosts. Default [0, P): emit all.
+  int32_t emit_lo = 0;
+  int32_t emit_hi = 0;  // 0 means "set to P at create time"
+  inline bool local(int p) const { return p >= emit_lo && p < emit_hi; }
+  inline int32_t n_emit() const { return emit_hi - emit_lo; }
 };
 
 struct Edge {
@@ -373,19 +381,21 @@ bool Worker::slice_layer(int l, Sample* out) {
       }
     }
   }
-  L.edge_src.assign((size_t)P * E_cap, 0);
-  L.edge_dst.assign((size_t)P * E_cap, (int32_t)D_cap);
+  const int PE = cfg_.n_emit();
+  const int LO = cfg_.emit_lo;
+  L.edge_src.assign((size_t)PE * E_cap, 0);
+  L.edge_dst.assign((size_t)PE * E_cap, (int32_t)D_cap);
   if (K_cap > 0)
-    L.nbr.assign((size_t)P * K_cap * D_cap, sentinel);
+    L.nbr.assign((size_t)PE * K_cap * D_cap, sentinel);
   else
     L.nbr.clear();
-  L.push.assign((size_t)P * P * S_cap, -1);
-  L.recv.assign((size_t)P * P * S_cap, (int32_t)D_cap);
-  L.owned_idx.assign((size_t)P * O_cap, -1);
-  L.self_idx.assign((size_t)P * O_cap, 0);
-  L.owned_deg.assign((size_t)P * O_cap, 1.0f);
-  L.owned_mask.assign((size_t)P * O_cap, 0);
-  L.num_owned.assign(P, 0);
+  L.push.assign((size_t)PE * P * S_cap, -1);
+  L.recv.assign((size_t)PE * P * S_cap, (int32_t)D_cap);
+  L.owned_idx.assign((size_t)PE * O_cap, -1);
+  L.self_idx.assign((size_t)PE * O_cap, 0);
+  L.owned_deg.assign((size_t)PE * O_cap, 1.0f);
+  L.owned_mask.assign((size_t)PE * O_cap, 0);
+  L.num_owned.assign(PE, 0);
 
   std::vector<int32_t> n_own(P, 0);
   for (int64_t i = 0; i < n; i++) n_own[dst_owner[i]]++;
@@ -400,6 +410,7 @@ bool Worker::slice_layer(int l, Sample* out) {
   // ids sorted — both subsequences are ascending in frontier row).
   std::vector<std::vector<Edge>> own_e(P), for_e(P);
   std::vector<std::vector<int32_t>> foreign_rows(P);  // frontier rows
+  std::vector<int64_t> ecnt(P, 0);  // per-partition edge count (global)
   auto cache_local = [&](int64_t u, int p) -> int32_t {
     if (cfg_.wmap[u] == p) {
       int32_t g = cfg_.owner_local[u];
@@ -429,14 +440,17 @@ bool Worker::slice_layer(int l, Sample* out) {
       src_local = ls.frame_rank[e.src_pos];
     }
     if (dst_owner[i] == p) {
-      own_e[p].push_back({dst_rank[i], src_local});
+      ecnt[p]++;
+      if (cfg_.local(p)) own_e[p].push_back({dst_rank[i], src_local});
     } else {
       int32_t& fm = foreign_mask_[p][i];
       if (fm == 0) {
         foreign_rows[p].push_back((int32_t)i);
         fm = (int32_t)foreign_rows[p].size();  // k + 1
       }
-      for_e[p].push_back({(int32_t)(n_own[p] + fm - 1), src_local});
+      ecnt[p]++;
+      if (cfg_.local(p))
+        for_e[p].push_back({(int32_t)(n_own[p] + fm - 1), src_local});
     }
   }
   for (int p = 0; p < P; p++) {
@@ -444,8 +458,7 @@ bool Worker::slice_layer(int l, Sample* out) {
   }
 
   for (int p = 0; p < P; p++) {
-    int64_t ne = (int64_t)own_e[p].size() + (int64_t)for_e[p].size();
-    if (ne > E_cap) {
+    if (ecnt[p] > E_cap) {
       out->error = 2;  // edge overflow
       return false;
     }
@@ -453,8 +466,29 @@ bool Worker::slice_layer(int l, Sample* out) {
       out->error = 3;  // dst frame overflow
       return false;
     }
-    int32_t* es = L.edge_src.data() + (size_t)p * E_cap;
-    int32_t* ed = L.edge_dst.data() + (size_t)p * E_cap;
+    // Shuffle bookkeeping runs for ALL p (recv rows on local q come from
+    // remote p's push ordering); the heavy edge/nbr emission only for
+    // local p.
+    {
+      std::vector<int64_t> cursor(P, 0);
+      for (size_t t = 0; t < foreign_rows[p].size(); t++) {
+        int32_t i = foreign_rows[p][t];
+        int q = dst_owner[i];
+        int64_t c = cursor[q]++;
+        if (c >= S_cap) {
+          out->error = 4;  // shuffle overflow
+          return false;
+        }
+        if (cfg_.local(p))
+          L.push[((size_t)(p - LO) * P + q) * S_cap + c] =
+              (int32_t)(n_own[p] + t);
+        if (cfg_.local(q))
+          L.recv[((size_t)(q - LO) * P + p) * S_cap + c] = dst_rank[i];
+      }
+    }
+    if (!cfg_.local(p)) continue;
+    int32_t* es = L.edge_src.data() + (size_t)(p - LO) * E_cap;
+    int32_t* ed = L.edge_dst.data() + (size_t)(p - LO) * E_cap;
     int64_t k = 0;
     for (const Edge& e : own_e[p]) {
       ed[k] = e.dst_row;  // here dst_row holds the LOCAL dst id
@@ -490,7 +524,7 @@ bool Worker::slice_layer(int l, Sample* out) {
     // is a run counter. rank < K_cap is guaranteed by fanout sampling
     // (fanout neighbors + self loop); checked anyway.
     if (K_cap > 0) {
-      int32_t* nb = L.nbr.data() + (size_t)p * K_cap * D_cap;
+      int32_t* nb = L.nbr.data() + (size_t)(p - LO) * K_cap * D_cap;
       int32_t prev = -1;
       int64_t r = 0;
       for (int64_t t = 0; t < k; t++) {
@@ -507,27 +541,13 @@ bool Worker::slice_layer(int l, Sample* out) {
       }
     }
 
-    // Shuffle bookkeeping.
-    std::vector<int64_t> cursor(P, 0);
-    for (size_t t = 0; t < foreign_rows[p].size(); t++) {
-      int32_t i = foreign_rows[p][t];
-      int q = dst_owner[i];
-      int64_t c = cursor[q]++;
-      if (c >= S_cap) {
-        out->error = 4;  // shuffle overflow
-        return false;
-      }
-      L.push[((size_t)p * P + q) * S_cap + c] = (int32_t)(n_own[p] + t);
-      L.recv[((size_t)q * P + p) * S_cap + c] = dst_rank[i];
-    }
   }
 
-  // Owned per-row data.
+  // Owned per-row data (cache_local checked for all p so hosts agree on
+  // error 5; writes only for local p).
   for (int64_t i = 0; i < n; i++) {
     int p = dst_owner[i];
     int32_t t = dst_rank[i];
-    L.owned_idx[(size_t)p * O_cap + t] = t;
-    L.owned_deg[(size_t)p * O_cap + t] = (float)ls.counts[i];
     int32_t self_row;
     if (use_cache) {
       self_row = cache_local(frontier[i], p);
@@ -539,10 +559,14 @@ bool Worker::slice_layer(int l, Sample* out) {
       // frontier is a prefix of the frame: frame row i.
       self_row = ls.frame_rank[i];
     }
-    L.self_idx[(size_t)p * O_cap + t] = self_row;
-    L.owned_mask[(size_t)p * O_cap + t] = 1;
+    if (!cfg_.local(p)) continue;
+    L.owned_idx[(size_t)(p - LO) * O_cap + t] = t;
+    L.owned_deg[(size_t)(p - LO) * O_cap + t] = (float)ls.counts[i];
+    L.self_idx[(size_t)(p - LO) * O_cap + t] = self_row;
+    L.owned_mask[(size_t)(p - LO) * O_cap + t] = 1;
   }
-  for (int p = 0; p < P; p++) L.num_owned[p] = n_own[p];
+  for (int p = cfg_.emit_lo; p < cfg_.emit_hi; p++)
+    L.num_owned[p - LO] = n_own[p];
   return true;
 }
 
@@ -587,22 +611,28 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out,
 
   if (ok) {
     // input frame global ids (no-cache path) / targets for labels.
-    out->input_nodes.assign((size_t)P * cfg_.frame_caps[0], -1);
+    const int PE = cfg_.n_emit();
+    const int LO = cfg_.emit_lo;
+    out->input_nodes.assign((size_t)PE * cfg_.frame_caps[0], -1);
     std::vector<int64_t> cnt(P, 0);
     for (int64_t u : deepest.frame) {
       int p = cfg_.wmap[u];
       int64_t c = cnt[p]++;
-      if (c < cfg_.frame_caps[0])
-        out->input_nodes[(size_t)p * cfg_.frame_caps[0] + c] = (int32_t)u;
-      else
+      if (c >= cfg_.frame_caps[0]) {
         ok = false, out->error = 7;  // input frame overflow
+      } else if (cfg_.local(p)) {
+        out->input_nodes[(size_t)(p - LO) * cfg_.frame_caps[0] + c] =
+            (int32_t)u;
+      }
     }
-    out->targets.assign((size_t)P * cfg_.out_caps[cfg_.L - 1], -1);
+    out->targets.assign((size_t)PE * cfg_.out_caps[cfg_.L - 1], -1);
     std::vector<int64_t> tcnt(P, 0);
     for (size_t i = 0; i < frontier0_.size() && ok; i++) {
       int p = f0_owner_[i];
-      out->targets[(size_t)p * cfg_.out_caps[cfg_.L - 1] + tcnt[p]++] =
-          (int32_t)frontier0_[i];
+      int64_t c = tcnt[p]++;
+      if (cfg_.local(p))
+        out->targets[(size_t)(p - LO) * cfg_.out_caps[cfg_.L - 1] + c] =
+            (int32_t)frontier0_[i];
     }
   }
 
@@ -689,7 +719,7 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
                  const int64_t* foreign_nodes, const int32_t* foreign_local,
                  int64_t tail_start, int64_t refresh_cap, int32_t num_workers,
                  int32_t queue_depth, uint64_t seed,
-                 int32_t sample_replace) {
+                 int32_t sample_replace, int32_t emit_lo, int32_t emit_hi) {
   Service* svc = new Service();
   Config& c = svc->cfg;
   c.num_nodes = num_nodes;
@@ -714,6 +744,8 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
   c.tail_start = tail_start;
   c.refresh_cap = refresh_cap;
   c.sample_replace = sample_replace;
+  c.emit_lo = emit_lo;
+  c.emit_hi = (emit_hi > emit_lo) ? emit_hi : P;
   svc->seed = seed;
   svc->work = std::make_unique<BoundedQueue<WorkItem>>(
       queue_depth > 0 ? queue_depth : 4);

@@ -165,27 +165,49 @@ class SplitGAT:
             er_frame = reverse_shuffle(
                 er_frame, lyr.push_idx, lyr.recv_idx, dst_cap
             )
-        safe_dst = jnp.minimum(lyr.edge_dst, dst_cap - 1)
-        scores = el[lyr.edge_src] + er_frame[safe_dst]
-        scores = jax.nn.leaky_relu(scores, self.negative_slope)
-        # Local streaming-softmax partials over this partition's edges.
-        m_loc = jax.ops.segment_max(
-            scores, lyr.edge_dst, num_segments=dst_cap,
-            indices_are_sorted=True,
-        )
-        safe_m = jnp.where(jnp.isfinite(m_loc), m_loc, 0.0)
-        pvals = jnp.exp(scores - safe_m[safe_dst])
-        pvals = jnp.where(
-            (lyr.edge_dst < dst_cap)[:, None], pvals, 0.0
-        )
-        s_loc = jax.ops.segment_sum(
-            pvals, lyr.edge_dst, num_segments=dst_cap,
-            indices_are_sorted=True,
-        )
-        v_loc = jax.ops.segment_sum(
-            pvals[:, :, None] * feat[lyr.edge_src],
-            lyr.edge_dst, num_segments=dst_cap, indices_are_sorted=True,
-        )
+        if lyr.nbr_idx is not None:
+            # Dense fanout-K attention (the TPU fast path, mirroring the
+            # SAGE dense aggregation): all three segment reductions become
+            # max/sum over the K axis of gathered rows — no scatter at all.
+            # Padding slots point at the frame's reserved zero row and are
+            # masked to -inf/0 so they contribute nothing.
+            nbr = lyr.nbr_idx                           # [K_cap, D_cap]
+            sentinel = x.shape[0] - 1                   # reserved zero row
+            valid = (nbr != sentinel)[..., None]        # [K, D, 1]
+            z = jax.nn.leaky_relu(
+                el[nbr] + er_frame[None, :, :], self.negative_slope
+            )
+            z = jnp.where(valid, z, -jnp.inf)
+            m_loc = z.max(axis=0)                       # [D_cap, K_heads]
+            safe_m = jnp.where(jnp.isfinite(m_loc), m_loc, 0.0)
+            pv = jnp.where(valid, jnp.exp(z - safe_m[None]), 0.0)
+            s_loc = pv.sum(axis=0)
+            # accumulate v over k: K row-gathers of feat, f32 accumulation
+            v_loc = pv[0][..., None] * feat[nbr[0]]
+            for kk in range(1, nbr.shape[0]):
+                v_loc = v_loc + pv[kk][..., None] * feat[nbr[kk]]
+        else:
+            safe_dst = jnp.minimum(lyr.edge_dst, dst_cap - 1)
+            scores = el[lyr.edge_src] + er_frame[safe_dst]
+            scores = jax.nn.leaky_relu(scores, self.negative_slope)
+            # Local streaming-softmax partials over this partition's edges.
+            m_loc = jax.ops.segment_max(
+                scores, lyr.edge_dst, num_segments=dst_cap,
+                indices_are_sorted=True,
+            )
+            safe_m = jnp.where(jnp.isfinite(m_loc), m_loc, 0.0)
+            pvals = jnp.exp(scores - safe_m[safe_dst])
+            pvals = jnp.where(
+                (lyr.edge_dst < dst_cap)[:, None], pvals, 0.0
+            )
+            s_loc = jax.ops.segment_sum(
+                pvals, lyr.edge_dst, num_segments=dst_cap,
+                indices_are_sorted=True,
+            )
+            v_loc = jax.ops.segment_sum(
+                pvals[:, :, None] * feat[lyr.edge_src],
+                lyr.edge_dst, num_segments=dst_cap, indices_are_sorted=True,
+            )
         if multi:
             s_star, v_star = shuffle_softmax_merge(
                 m_loc, s_loc, v_loc, lyr.push_idx, lyr.recv_idx, dst_cap

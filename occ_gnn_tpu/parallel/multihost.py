@@ -15,10 +15,14 @@ sampler traffic, exactly one all_to_all per layer at train time (the
 reference never attempted multi-host; its scaling stopped at 4 GPUs on one
 box).
 
-The C++ service makes the per-host redundant sampling cheap (it is already
-overlapped with the step), and a future optimization can shard the
-*sampling* work per host and exchange slices over DCN; the data structures
-here would not change.
+The slicing WORK is sharded, not replicated: construct the inner
+NativeSplitSampler with ``emit_range=(lo, hi)`` (this host's partition
+rows from ``local_partition_range``) and the C++ service builds only those
+rows of every padded array — per-host slicing cost scales ~1/num_hosts
+while the seeded routing pass keeps all hosts bit-agreed (validated in
+tests/test_multihost.py and tests/test_multiprocess.py). No slice
+exchange is needed at all: each host feeds exactly its local shard to
+``jax.make_array_from_process_local_data``.
 
 Single-process usage degrades gracefully (process_count == 1), which is
 how the multihost path is exercised in tests and by dryrun_multichip.
@@ -78,6 +82,13 @@ class MultiHostSplitSampler:
         self.inner = inner
         self.mesh = mesh
         self.lo, self.hi = local_partition_range(mesh)
+        # When the inner sampler already emits ONLY this host's partition
+        # rows (NativeSplitSampler(emit_range=(lo, hi)) — per-host slicing
+        # work ~1/num_hosts), skip the slice here and assemble directly.
+        self.pre_sliced = (
+            getattr(inner, "emit_lo", 0) == self.lo
+            and getattr(inner, "emit_hi", None) == self.hi
+        )
 
     def __len__(self):
         return len(self.inner)
@@ -93,7 +104,8 @@ class MultiHostSplitSampler:
         lo, hi = self.lo, self.hi
 
         def slice_local(x):
-            return np.asarray(x)[lo:hi]
+            x = np.asarray(x)
+            return x if self.pre_sliced else x[lo:hi]
 
         local = jax.tree_util.tree_map(slice_local, batch)
         return assemble_global(self.mesh, local)

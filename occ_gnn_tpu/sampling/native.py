@@ -65,6 +65,8 @@ def load_library():
         ctypes.c_int32,  # queue_depth
         ctypes.c_uint64,  # seed
         ctypes.c_int32,  # sample_replace
+        ctypes.c_int32,  # emit_lo
+        ctypes.c_int32,  # emit_hi
     ]
     lib.occ_submit.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                ctypes.c_int64, ctypes.c_int64]
@@ -109,6 +111,7 @@ class NativeSplitSampler:
         queue_depth: int = 4,
         replace: bool = True,
         packed: bool = True,
+        emit_range: tuple[int, int] | None = None,
     ):
         self.graph = graph
         self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
@@ -121,6 +124,16 @@ class NativeSplitSampler:
         )
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
+        # Multi-host work sharding: emit only partitions [lo, hi) — this
+        # host's share of the slicing work (the sample itself stays seeded
+        # and replicated so hosts agree without communicating; see
+        # parallel/multihost.py). None = emit all P rows.
+        self.emit_lo, self.emit_hi = (
+            emit_range if emit_range is not None else (0, num_partitions)
+        )
+        if not (0 <= self.emit_lo < self.emit_hi <= num_partitions):
+            raise ValueError(f"bad emit_range {emit_range}")
+        self.P_emit = self.emit_hi - self.emit_lo
         self.cache = cache
         plan = getattr(cache, "plan", cache)
         self.cache_plan = plan
@@ -201,6 +214,8 @@ class NativeSplitSampler:
             queue_depth,
             seed + 1,
             1 if replace else 0,
+            self.emit_lo,
+            self.emit_hi,
         )
         self._lib = lib
         self._closed = False
@@ -255,30 +270,32 @@ class NativeSplitSampler:
 
     def _alloc_fields(self):
         P, L = self.P, len(self.fanouts)
+        PE = self.P_emit  # emitted partition rows (multi-host work shard)
         caps = self.caps
         fields = []
         deg_caps = self.caps["deg_caps"]
         for l in range(L):
             E, S, O = caps["edge_caps"][l], caps["shuffle_caps"][l], caps["out_caps"][l]
             f = {
-                "edge_src": np.empty((P, E), np.int32),
-                "edge_dst": np.empty((P, E), np.int32),
-                "push": np.empty((P, P, S), np.int32),
-                "recv": np.empty((P, P, S), np.int32),
-                "owned_idx": np.empty((P, O), np.int32),
-                "owned_deg": np.empty((P, O), np.float32),
-                "self_idx": np.empty((P, O), np.int32),
-                "owned_mask": np.empty((P, O), np.uint8),
-                "num_owned": np.empty((P,), np.int32),
+                "edge_src": np.empty((PE, E), np.int32),
+                "edge_dst": np.empty((PE, E), np.int32),
+                "push": np.empty((PE, P, S), np.int32),
+                "recv": np.empty((PE, P, S), np.int32),
+                "owned_idx": np.empty((PE, O), np.int32),
+                "owned_deg": np.empty((PE, O), np.float32),
+                "self_idx": np.empty((PE, O), np.int32),
+                "owned_mask": np.empty((PE, O), np.uint8),
+                "num_owned": np.empty((PE,), np.int32),
             }
             if deg_caps[l] > 0:
                 f["nbr"] = np.empty(
-                    (P, deg_caps[l], caps["dst_caps"][l]), np.int32
+                    (PE, deg_caps[l], caps["dst_caps"][l]), np.int32
                 )
             fields.append(f)
         extra = {
-            "input_nodes": np.empty((P, caps["frame_caps"][0]), np.int32),
-            "targets": np.empty((P, caps["out_caps"][-1]), np.int32),
+            "input_nodes": np.empty((PE, caps["frame_caps"][0]), np.int32),
+            "targets": np.empty((PE, caps["out_caps"][-1]), np.int32),
+            # refresh stays ALL-P: cache-tail bookkeeping is global
             "refresh_nodes": np.empty(
                 (P, max(self.refresh_cap, 1)), np.int32
             ),
@@ -310,6 +327,7 @@ class NativeSplitSampler:
 
     def _build_layout(self):
         P, L = self.P, len(self.fanouts)
+        PE = self.P_emit
         caps = self.caps
         layout = []
         off = 0
@@ -326,19 +344,19 @@ class NativeSplitSampler:
             E = caps["edge_caps"][l]
             S = caps["shuffle_caps"][l]
             O = caps["out_caps"][l]
-            add("edge_src", l, (P, E), "i32")
-            add("edge_dst", l, (P, E), "i32")
-            add("push", l, (P, P, S), "i32")
-            add("recv", l, (P, P, S), "i32")
-            add("owned_idx", l, (P, O), "i32")
-            add("owned_deg", l, (P, O), "f32")
-            add("self_idx", l, (P, O), "i32")
-            add("owned_mask", l, (P, O), "u8")
-            add("num_owned", l, (P,), "i32")
+            add("edge_src", l, (PE, E), "i32")
+            add("edge_dst", l, (PE, E), "i32")
+            add("push", l, (PE, P, S), "i32")
+            add("recv", l, (PE, P, S), "i32")
+            add("owned_idx", l, (PE, O), "i32")
+            add("owned_deg", l, (PE, O), "f32")
+            add("self_idx", l, (PE, O), "i32")
+            add("owned_mask", l, (PE, O), "u8")
+            add("num_owned", l, (PE,), "i32")
             if deg_caps[l] > 0:
-                add("nbr", l, (P, deg_caps[l], caps["dst_caps"][l]), "i32")
-        add("input_nodes", None, (P, caps["frame_caps"][0]), "i32")
-        add("targets", None, (P, caps["out_caps"][-1]), "i32")
+                add("nbr", l, (PE, deg_caps[l], caps["dst_caps"][l]), "i32")
+        add("input_nodes", None, (PE, caps["frame_caps"][0]), "i32")
+        add("targets", None, (PE, caps["out_caps"][-1]), "i32")
         add("refresh", None, (P, max(self.refresh_cap, 1)), "i32")
         self._layout = layout
         self._arena_words = off

@@ -391,6 +391,7 @@ def train_split(args, g, fanouts, timers):
             print(f"profiler trace -> {args.profile_dir}")
         print(f"epoch {epoch}: loss={loss_v:.4f} acc={acc:.4f} "
               f"time={dt:.2f}s [{timers.summary()}]")
+        last_phases = {k: round(v, 4) for k, v in timers.as_dict().items()}
         timers.clear()
         if args.save_dir:
             from occ_gnn_tpu.utils.checkpoint import save_checkpoint
@@ -401,7 +402,12 @@ def train_split(args, g, fanouts, timers):
             )
             print(f"checkpoint -> {path}")
         epoch += 1
-    out = {"mode": "split", "acc": acc, "loss": loss_v, "partitions": P}
+    out = {"mode": "split", "acc": acc, "loss": loss_v, "partitions": P,
+           "phases": locals().get("last_phases", {})}
+    if args.sampler == "native" and hasattr(sampler, "stats"):
+        st = sampler.stats()
+        out["phases"]["cxx_sample"] = round(st["sample_s_per_batch"], 4)
+        out["phases"]["cxx_slice"] = round(st["slice_s_per_batch"], 4)
     if args.eval and g.val_mask is not None:
         from occ_gnn_tpu.parallel.model import make_split_forward
 
@@ -485,8 +491,10 @@ def train_ddp(args, g, fanouts, timers):
         dt = time.perf_counter() - t0
         print(f"epoch {epoch}: loss={loss_v:.4f} acc={acc:.4f} "
               f"time={dt:.2f}s [{timers.summary()}]")
+        last_phases = {k: round(v, 4) for k, v in timers.as_dict().items()}
         timers.clear()
-    return {"mode": "ddp", "acc": acc, "loss": loss_v, "partitions": P}
+    return {"mode": "ddp", "acc": acc, "loss": loss_v, "partitions": P,
+            "phases": locals().get("last_phases", {})}
 
 
 def train_quiver(args, g, fanouts, timers):
@@ -528,8 +536,10 @@ def train_quiver(args, g, fanouts, timers):
         dt = time.perf_counter() - t0
         print(f"epoch {epoch}: loss={loss_v:.4f} acc={acc:.4f} "
               f"time={dt:.2f}s [{timers.summary()}]")
+        last_phases = {k: round(v, 4) for k, v in timers.as_dict().items()}
         timers.clear()
-    return {"mode": "quiver", "acc": acc, "loss": loss_v, "partitions": P}
+    return {"mode": "quiver", "acc": acc, "loss": loss_v, "partitions": P,
+            "phases": locals().get("last_phases", {})}
 
 
 def train_single(args, g, fanouts, timers, use_cache: bool):
@@ -579,9 +589,10 @@ def train_single(args, g, fanouts, timers, use_cache: bool):
         hit = f" hit_rate={cache.hit_rate:.3f}" if cache else ""
         print(f"epoch {epoch}: loss={loss_v:.4f} acc={acc:.4f} "
               f"time={dt:.2f}s{hit} [{timers.summary()}]")
+        last_phases = {k: round(v, 4) for k, v in timers.as_dict().items()}
         timers.clear()
     out = {"mode": "pa-cache" if use_cache else "single", "acc": acc,
-           "loss": loss_v}
+           "loss": loss_v, "phases": locals().get("last_phases", {})}
     if cache:
         out["hit_rate"] = cache.hit_rate
     return out

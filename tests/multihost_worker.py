@@ -9,6 +9,10 @@ import sys
 proc_id = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
+# "numpy": replicated numpy slicing, host slices its rows afterwards.
+# "native_sharded": C++ service with emit_range — each host SLICES ONLY
+# its own partitions (work ~1/num_hosts), results must stay identical.
+mode = sys.argv[4] if len(sys.argv) > 4 else "numpy"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
 import jax
@@ -40,19 +44,40 @@ g = random_graph(num_nodes=600, avg_degree=6, feature_dim=16, num_classes=4,
 pmap = partition_graph(g, P, mode="greedy")
 mesh = jax.sharding.Mesh(np.array(jax.devices()).reshape(P), ("p",))
 lo, hi = local_partition_range(mesh)
-inner = SplitSampler(g, g.train_nodes(), pmap, P, [3, 3], 64, seed=5)
-# Replicated deterministic sampling: every process computes the same
-# slice, keeps its partitions' rows, assembles global arrays.
-host_batch = inner.sample_batch(g.train_nodes()[:64])
-local = jax.tree_util.tree_map(lambda x: np.asarray(x)[lo:hi], host_batch)
-batch = assemble_global(mesh, local)
-xs_local = np.stack([
-    np.asarray(gather_features(
-        g.features, np.asarray(host_batch.input_nodes)[p]
-    ))
-    for p in range(lo, hi)
-])
-xs = assemble_global(mesh, xs_local)
+if mode == "native_sharded":
+    from occ_gnn_tpu.parallel.multihost import MultiHostSplitSampler
+    from occ_gnn_tpu.sampling.native import NativeSplitSampler
+
+    inner = NativeSplitSampler(g, g.train_nodes(), pmap, P, [3, 3], 64,
+                               seed=5, num_workers=1,
+                               emit_range=(lo, hi))
+    mh = MultiHostSplitSampler(inner, mesh)
+    assert mh.pre_sliced
+    host_batch = inner.sample_batch(g.train_nodes()[:64])
+    batch = mh._assemble(host_batch)
+    xs_local = np.stack([
+        np.asarray(gather_features(
+            g.features, np.asarray(host_batch.input_nodes)[p]
+        ))
+        for p in range(hi - lo)  # rows already local
+    ])
+    xs = assemble_global(mesh, xs_local)
+else:
+    inner = SplitSampler(g, g.train_nodes(), pmap, P, [3, 3], 64, seed=5)
+    # Replicated deterministic sampling: every process computes the same
+    # slice, keeps its partitions' rows, assembles global arrays.
+    host_batch = inner.sample_batch(g.train_nodes()[:64])
+    local = jax.tree_util.tree_map(
+        lambda x: np.asarray(x)[lo:hi], host_batch
+    )
+    batch = assemble_global(mesh, local)
+    xs_local = np.stack([
+        np.asarray(gather_features(
+            g.features, np.asarray(host_batch.input_nodes)[p]
+        ))
+        for p in range(lo, hi)
+    ])
+    xs = assemble_global(mesh, xs_local)
 model = SplitSAGE(g.feature_dim, 16, g.num_classes, 2)
 params = model.init(jax.random.PRNGKey(0))
 opt = optax.adam(1e-2)

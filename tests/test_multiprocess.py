@@ -78,3 +78,66 @@ def test_two_process_step_matches_single_process(small_graph):
     assert abs(results[0][0] - float(loss)) < 1e-5
     assert results[0][1] == int(c)
     assert results[0][2] == int(t)
+
+
+def test_two_process_sharded_native_matches_single_process(small_graph):
+    """SHARDED slicing across real OS processes: each process's C++
+    service emits only its own partitions (emit_range) — per-host slicing
+    work halves — and the cross-process step still matches a
+    single-process full-emission native run exactly."""
+    port = str(_free_port())
+    here = os.path.dirname(__file__)
+    worker = os.path.join(here, "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", port, "native_sharded"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=150)
+        assert p.returncode == 0, out[-2000:]
+        m = re.search(r"RESULT (\d+) ([\d.]+) (\d+) (\d+)", out)
+        assert m, out[-2000:]
+        results[int(m.group(1))] = (float(m.group(2)), int(m.group(3)),
+                                    int(m.group(4)))
+    assert results[0] == results[1]
+
+    # Single-process full-emission native run for comparison.
+    from occ_gnn_tpu.data import partition_graph, random_graph
+    from occ_gnn_tpu.parallel.model import SplitSAGE, make_split_train_step
+    from occ_gnn_tpu.parallel.split import make_mesh
+    from occ_gnn_tpu.sampling.native import NativeSplitSampler
+    from occ_gnn_tpu.training import gather_features
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    P = 4
+    g = random_graph(num_nodes=600, avg_degree=6, feature_dim=16,
+                     num_classes=4, seed=3)
+    pmap = partition_graph(g, P, mode="greedy")
+    mesh = make_mesh(P)
+    inner = NativeSplitSampler(g, g.train_nodes(), pmap, P, [3, 3], 64,
+                               seed=5, num_workers=1)
+    batch = inner.sample_batch(g.train_nodes()[:64])
+    inner.close()
+    xs = jnp.stack([
+        gather_features(g.features, np.asarray(batch.input_nodes)[p])
+        for p in range(P)
+    ])
+    model = SplitSAGE(g.feature_dim, 16, g.num_classes, 2)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    ost = opt.init(params)
+    step = make_split_train_step(model, opt, mesh)
+    _, _, loss, c, t = step(params, ost, batch, xs)
+    assert abs(results[0][0] - float(loss)) < 1e-5
+    assert results[0][1] == int(c)
+    assert results[0][2] == int(t)

@@ -259,6 +259,31 @@ def test_split_gat_matches_single_chip(sliced):
         )
 
 
+def test_split_gat_dense_matches_coo(sliced):
+    """GAT's dense fanout-K attention (gather-only, the TPU fast path)
+    equals the COO segment-softmax path on the same sliced batch."""
+    import dataclasses
+
+    from occ_gnn_tpu.parallel.model import SplitGAT
+
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    mesh = make_mesh(P)
+    model = SplitGAT(g.feature_dim, 6, g.num_classes, 2, num_heads=2)
+    params = model.init(jax.random.PRNGKey(12))
+    xs = _gather_split_features(g, split_batch)
+    fwd = make_split_forward(model, mesh)
+    assert all(l.nbr_idx is not None for l in split_batch.layers)
+    logits_dense = np.asarray(fwd(params, split_batch, xs))
+    coo_batch = dataclasses.replace(
+        split_batch,
+        layers=[dataclasses.replace(l, nbr_idx=None)
+                for l in split_batch.layers],
+    )
+    logits_coo = np.asarray(fwd(params, coo_batch, xs))
+    np.testing.assert_allclose(logits_dense, logits_coo,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_split_bf16_training_learns(community_graph):
     """bf16 activations/cache (f32 accumulation) must still converge."""
     g = community_graph
