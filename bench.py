@@ -126,6 +126,11 @@ def main():
         num_nodes=num_nodes, avg_degree=avg_degree, feature_dim=100,
         num_classes=47, seed=0,
     )
+    # Lane-align the 100-dim products features to 128: zero columns are
+    # mathematically inert and aligned rows gather up to ~4x faster on
+    # TPU (see Graph.pad_feature_dim). OCC_BENCH_PAD=0 disables.
+    if os.environ.get("OCC_BENCH_PAD", "1") != "0":
+        g = g.pad_feature_dim(128)
     pmap = np.zeros(g.num_nodes, dtype=np.int32)
     fanouts = [10, 10, 25]
     batch_size = 1024

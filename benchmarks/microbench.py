@@ -23,14 +23,26 @@ import numpy as np
 
 
 def _timeit(fn, *args, reps=10):
+    """Elision-proof timing: on relayed/async backends block_until_ready
+    can return before remote execution completes, and identical repeated
+    programs may be memoized. A device->host fetch of a scalar that
+    DEPENDS on every rep's output is the only reliable sync point."""
     import jax
+    import jax.numpy as jnp
+
+    def scalar_of(o):
+        leaves = jax.tree_util.tree_leaves(o)
+        return jnp.asarray(leaves[0]).ravel()[0].astype(jnp.float32)
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    float(scalar_of(out))  # warmup + compile (incl. the sync program)
     t0 = time.perf_counter()
+    acc = None
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+        s = scalar_of(out)
+        acc = s if acc is None else acc + s
+    float(acc)  # forces completion of all reps
     return (time.perf_counter() - t0) / reps
 
 

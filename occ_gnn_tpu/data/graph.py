@@ -92,6 +92,27 @@ class Graph:
         self.val_mask = (a >= 0.80) & (a < 0.90)
         self.test_mask = a >= 0.90
 
+    def pad_feature_dim(self, multiple: int = 128) -> "Graph":
+        """Zero-pad features so feature_dim is a multiple of ``multiple``.
+
+        TPU vector lanes are 128 wide; random-row gathers of lane-aligned
+        rows run up to ~4x faster than unaligned ones (measured on v5e:
+        bf16 H=100 -> H=128 cut the dense fanout-K aggregation from
+        114ms to 26ms at bench shapes). The zero columns are
+        mathematically inert: they contribute nothing to matmuls and
+        their weight rows receive zero gradient. No-op if already
+        aligned. Materializes features (not for mmap'd tables)."""
+        H = self.feature_dim
+        pad = (-H) % multiple
+        if pad == 0:
+            return self
+        if isinstance(self.features, np.memmap):
+            raise ValueError("cannot pad mmap'd features in place; pad at "
+                             "conversion time instead")
+        feats = np.zeros((self.num_nodes, H + pad), dtype=np.float32)
+        feats[:, :H] = self.features
+        return dataclasses.replace(self, features=feats)
+
 
 def from_edge_list(
     src: np.ndarray,

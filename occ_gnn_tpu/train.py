@@ -81,6 +81,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="evaluate on val/test masks after training")
     p.add_argument("--mmap-features", action="store_true",
                    help="memory-map features.bin (papers100M-scale)")
+    p.add_argument("--feature-pad", type=int, default=0,
+                   help="zero-pad feature_dim to a multiple of this "
+                        "(128 lane-aligns rows: TPU gathers run up to "
+                        "~4x faster; inert for the math)")
     p.add_argument("--profile-dir", type=str, default="",
                    help="capture a jax profiler trace of a few steps")
     p.add_argument("--cpu", action="store_true",
@@ -124,6 +128,8 @@ def main(argv=None):
 
     fanouts = [int(f) for f in args.fan_out.split(",")]
     g = resolve_graph(args)
+    if args.feature_pad > 1:
+        g = g.pad_feature_dim(args.feature_pad)
     print(f"graph: {g.num_nodes} nodes, {g.num_edges} edges, "
           f"feat {g.feature_dim}, {g.num_classes} classes")
     timers = PhaseTimers()

@@ -78,3 +78,16 @@ def test_greedy_balance():
     deg = g.in_degrees() + g.out_degrees() + 1
     loads = np.array([deg[pmap == p].sum() for p in range(4)], dtype=float)
     assert loads.max() / loads.mean() < 1.25
+
+
+def test_pad_feature_dim_inert(small_graph):
+    """Zero-padding features to 128 lanes changes no training math."""
+    g = small_graph
+    gp = g.pad_feature_dim(128)
+    assert gp.feature_dim == 128
+    assert gp.num_edges == g.num_edges
+    np.testing.assert_array_equal(gp.features[:, : g.feature_dim],
+                                  g.features)
+    assert (gp.features[:, g.feature_dim:] == 0).all()
+    # already-aligned: no-op (same object)
+    assert gp.pad_feature_dim(128) is gp
