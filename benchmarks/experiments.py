@@ -304,16 +304,54 @@ def exp5(args):
 
     serial = run_epoch(workers=1)
     pipelined = run_epoch(workers=2)
+
+    # H2D staging overlap (train.py's lag-1 pipeline): gather+stage batch
+    # n+1 while the device runs step n, vs blocking on every step.
+    def run_gather(lag1: bool):
+        nonlocal params, ost
+        nat = NativeSplitSampler(g, g.train_nodes(), pmap, P, fanouts,
+                                 args.batch_size, capacities=caps, seed=4,
+                                 num_workers=2, drop_last=True)
+        it = iter(nat)
+        b0 = next(it)
+        params, ost, loss, _, _ = step(params, ost, b0, gather(b0))
+        jax.block_until_ready(loss)
+        n = 0
+        pending = None
+        t0 = time.perf_counter()
+        for b in it:
+            xs = gather(b)
+            if pending is not None and not lag1:
+                jax.block_until_ready(pending)
+            params, ost, loss, _, _ = step(params, ost, b, xs)
+            if not lag1:
+                loss = jax.block_until_ready(loss)
+            pending = loss
+            n += 1
+        jax.block_until_ready(pending)
+        dt = time.perf_counter() - t0
+        nat.close()
+        return dt / max(n, 1)
+
+    gather_serial = run_gather(lag1=False)
+    gather_lag1 = run_gather(lag1=True)
+
     rec = _record("exp5", {
         "serial_s_per_batch": round(serial, 4),
         "pipelined_s_per_batch": round(pipelined, 4),
         "overlap_speedup": round(serial / pipelined, 3),
+        "gather_blocking_s_per_batch": round(gather_serial, 4),
+        "gather_lag1_s_per_batch": round(gather_lag1, 4),
+        "gather_overlap_speedup": round(gather_serial / gather_lag1, 3),
     })
     print("| config | s/batch |")
     print("|---|---|")
     print(f"| 1 worker | {serial:.4f} |")
     print(f"| 2 workers (pipelined) | {pipelined:.4f} |")
     print(f"| speedup | {rec['overlap_speedup']}x |")
+    print(f"| blocking feature staging | {gather_serial:.4f} |")
+    print(f"| lag-1 staged (train.py) | {gather_lag1:.4f} |")
+    print(f"| gather overlap speedup | {rec['gather_overlap_speedup']}x |")
 
 
 def exp6(args):

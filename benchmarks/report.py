@@ -32,11 +32,16 @@ def main():
         if "rows" in rec:
             rows = rec.pop("rows")
             if rows:
-                keys = list(rows[0].keys())
+                keys = []
+                for r in rows:  # union, insertion-ordered
+                    for k in r:
+                        if k not in keys:
+                            keys.append(k)
                 print("| " + " | ".join(keys) + " |")
                 print("|" + "---|" * len(keys))
                 for r in rows:
-                    print("| " + " | ".join(str(r[k]) for k in keys) + " |")
+                    print("| " + " | ".join(str(r.get(k, ""))
+                                            for k in keys) + " |")
         for k, v in rec.items():
             print(f"- {k}: {v}")
         print()

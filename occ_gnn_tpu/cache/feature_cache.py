@@ -252,7 +252,10 @@ class SplitFeatureCache:
                 return frames.at[:, ts : ts + rc, :].set(tail)
 
             self._update = update
-        tail = jnp.asarray(tail).astype(self.dtype)
+        # Cast on the HOST so the H2D transfer carries the storage dtype
+        # (bf16 halves the refresh bytes — at products scale the tail is
+        # the dominant per-batch transfer).
+        tail = jnp.asarray(np.asarray(tail).astype(self.dtype))
         if self._sharding is not None:
             tail = jax.device_put(tail, self._sharding)
         self.frames = self._update(self.frames, tail)
@@ -270,7 +273,10 @@ class SplitFeatureCache:
             return
         H = plan.graph.feature_dim
         P = plan.P
-        tail = np.zeros((P, plan.refresh_cap, H), dtype=np.float32)
+        # Build in the storage dtype: the gather casts on assignment and
+        # the H2D transfer carries half the bytes under bf16.
+        tail = np.zeros((P, plan.refresh_cap, H),
+                        dtype=np.dtype(self.dtype))
         for p in range(P):
             rows = refresh_nodes[p]
             k = int((rows >= 0).sum())
@@ -285,7 +291,7 @@ class SplitFeatureCache:
                 return frames.at[:, ts : ts + rc, :].set(tail)
 
             self._update = update
-        t = jnp.asarray(tail).astype(self.dtype)
+        t = jnp.asarray(tail)
         if self._sharding is not None:
             t = jax.device_put(t, self._sharding)
         self.frames = self._update(self.frames, t)

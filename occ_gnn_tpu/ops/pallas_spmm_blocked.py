@@ -31,6 +31,21 @@ is fused in; at the production shapes XLA's sorted scatter is already
 within ~3x of the HBM roofline. Kept opt-in (OCC_PALLAS_TILE_D /
 OCC_PALLAS_CHUNK_E to retune) as the kernel substrate for future
 fused-gather work.
+
+ROUND-2 MEASUREMENT (why no fused-gather kernel ships as default): the
+production aggregation is the DENSE fanout-K gather path, and round-2
+microbenchmarks (benchmarks/probe_gather_align.py, chained-dependency
+timing) show it is ROW-TRANSACTION-bound, not bandwidth-bound: XLA's
+random-row gather sustains ~6.4 ns/row at lane-aligned [*, 128] rows
+(~3.3M rows in 21-27 ms at bench shapes) and the time is invariant to
+row BYTES (bf16 no faster than f32). A Pallas kernel issuing per-row
+DMAs pays the same HBM transaction cost plus per-row issue overhead —
+the 1.5x win would require coalescing transactions, i.e. a different
+data layout (tile-clustered graph reordering) or SparseCore-class
+hardware gather, neither of which this chip generation exposes to
+Pallas. The delivered win instead came from lane-aligning the rows
+(Graph.pad_feature_dim) and eliminating scatters everywhere (dense
+fanout-K for SAGE/GCN AND for GAT attention).
 """
 
 from __future__ import annotations
