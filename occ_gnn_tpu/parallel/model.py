@@ -150,14 +150,18 @@ class SplitGAT:
         k = self.num_heads
         d_out = p["attn_l"].shape[1]
         dst_cap = lyr.dst_cap
-        feat = (x @ p["w"]).reshape(-1, k, d_out)      # [F_cap, K, D]
-        el = jnp.einsum("skd,kd->sk", feat, p["attn_l"])
+        h_in = x.shape[-1]
+        # Contract attn vectors into W once: el[s] = x[s] @ wl (and er
+        # likewise), so per-src attention terms never need the full-frame
+        # projection feat = x @ W materialized.
+        w3 = p["w"].reshape(h_in, k, d_out)
+        wl = jnp.einsum("hkd,kd->hk", w3, p["attn_l"])  # [H_in, K_heads]
+        wr = jnp.einsum("hkd,kd->hk", w3, p["attn_r"])
         # er on the dst frame: owned prefix computed from own features,
         # foreign rows filled by the reverse shuffle from their owners.
-        er_own = jnp.einsum(
-            "skd,kd->sk", feat[lyr.self_idx], p["attn_r"]
-        ) * lyr.owned_mask[:, None]
-        er_frame = jnp.zeros((dst_cap, k), feat.dtype)
+        x_self = x[lyr.self_idx].astype(jnp.float32)
+        er_own = (x_self @ wr) * lyr.owned_mask[:, None]
+        er_frame = jnp.zeros((dst_cap, k), er_own.dtype)
         tgt = jnp.where(lyr.owned_idx < 0, dst_cap, lyr.owned_idx)
         er_frame = er_frame.at[tgt].set(er_own, mode="drop")
         multi = lyr.push_idx.shape[0] > 1  # P == 1: no foreign rows exist
@@ -166,27 +170,47 @@ class SplitGAT:
                 er_frame, lyr.push_idx, lyr.recv_idx, dst_cap
             )
         if lyr.nbr_idx is not None:
-            # Dense fanout-K attention (the TPU fast path, mirroring the
-            # SAGE dense aggregation): all three segment reductions become
-            # max/sum over the K axis of gathered rows — no scatter at all.
-            # Padding slots point at the frame's reserved zero row and are
-            # masked to -inf/0 so they contribute nothing.
+            # Dense fanout-K attention, ONLINE-softmax form (flash-style):
+            # one pass over the K axis, each step gathering LEAF rows of x
+            # (not the projected feat) so the backward is a matmul
+            # transpose, never a scatter into the [F_cap, K*D] projection
+            # — the round-1 GAT compile/step killer. (m, s, v) running
+            # triples rescale exactly; jax.checkpoint per step keeps
+            # residents O(D*H) instead of O(K*D*H).
             nbr = lyr.nbr_idx                           # [K_cap, D_cap]
             sentinel = x.shape[0] - 1                   # reserved zero row
-            valid = (nbr != sentinel)[..., None]        # [K, D, 1]
-            z = jax.nn.leaky_relu(
-                el[nbr] + er_frame[None, :, :], self.negative_slope
-            )
-            z = jnp.where(valid, z, -jnp.inf)
-            m_loc = z.max(axis=0)                       # [D_cap, K_heads]
-            safe_m = jnp.where(jnp.isfinite(m_loc), m_loc, 0.0)
-            pv = jnp.where(valid, jnp.exp(z - safe_m[None]), 0.0)
-            s_loc = pv.sum(axis=0)
-            # accumulate v over k: K row-gathers of feat, f32 accumulation
-            v_loc = pv[0][..., None] * feat[nbr[0]]
-            for kk in range(1, nbr.shape[0]):
-                v_loc = v_loc + pv[kk][..., None] * feat[nbr[kk]]
+
+            def att_step(carry, kk):
+                m, s, v = carry
+                idx = nbr[kk]
+                valid = (idx != sentinel)[:, None]      # [D, 1]
+                xg = x[idx].astype(jnp.float32)         # [D, H_in] leaf
+                zk = jax.nn.leaky_relu(
+                    xg @ wl + er_frame, self.negative_slope
+                )
+                zk = jnp.where(valid, zk, -jnp.inf)
+                m_new = jnp.maximum(m, zk)
+                safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+                scale = jnp.where(
+                    jnp.isfinite(m), jnp.exp(m - safe), 0.0
+                )
+                pk = jnp.where(valid, jnp.exp(zk - safe), 0.0)
+                fk = (xg @ p["w"]).reshape(-1, k, d_out)
+                s = s * scale + pk
+                v = v * scale[..., None] + pk[..., None] * fk
+                return (m_new, s, v)
+
+            m_loc = jnp.full((dst_cap, k), -jnp.inf, jnp.float32)
+            s_loc = jnp.zeros((dst_cap, k), jnp.float32)
+            v_loc = jnp.zeros((dst_cap, k, d_out), jnp.float32)
+            carry = (m_loc, s_loc, v_loc)
+            step_ck = jax.checkpoint(att_step, static_argnums=(1,))
+            for kk in range(nbr.shape[0]):
+                carry = step_ck(carry, kk)
+            m_loc, s_loc, v_loc = carry
         else:
+            feat = (x @ p["w"]).reshape(-1, k, d_out)   # [F_cap, K, D]
+            el = jnp.einsum("skd,kd->sk", feat, p["attn_l"])
             safe_dst = jnp.minimum(lyr.edge_dst, dst_cap - 1)
             scores = el[lyr.edge_src] + er_frame[safe_dst]
             scores = jax.nn.leaky_relu(scores, self.negative_slope)

@@ -91,3 +91,48 @@ def test_pad_feature_dim_inert(small_graph):
     assert (gp.features[:, g.feature_dim:] == 0).all()
     # already-aligned: no-op (same object)
     assert gp.pad_feature_dim(128) is gp
+
+
+def test_gpmetis_passthrough_with_fake_binary(small_graph, tmp_path,
+                                              monkeypatch):
+    """Validate the METIS writer/parser round trip without gpmetis
+    installed: a stub `gpmetis` on PATH checks the input format invariants
+    (header edge count, symmetry, 1-indexing, no self loops, degree
+    vertex weights) and emits a valid .part file the parser must load."""
+    import os
+    import stat
+    import sys
+
+    from occ_gnn_tpu.data.partition import partition_graph
+
+    stub = tmp_path / "gpmetis"
+    stub.write_text(f"""#!{sys.executable}
+import sys
+path, k = sys.argv[1], int(sys.argv[2])
+lines = open(path).read().splitlines()
+n, m, fmt = lines[0].split()
+n, m = int(n), int(m)
+assert fmt == "010", fmt
+assert len(lines) == n + 1
+edges = set()
+for v, line in enumerate(lines[1:]):
+    toks = line.split()
+    w = int(toks[0])          # degree+1 vertex weight
+    assert w >= 1
+    for u in toks[1:]:
+        u = int(u)
+        assert 1 <= u <= n and u != v + 1
+        edges.add((v + 1, u))
+assert len(edges) == 2 * m, (len(edges), m)
+for a, b in edges:
+    assert (b, a) in edges    # symmetric
+with open(f"{{path}}.part.{{k}}", "w") as fp:
+    for v in range(n):
+        fp.write(f"{{v % k}}\\n")
+""")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}" + os.environ["PATH"])
+    pmap = partition_graph(small_graph, 4, mode="metis", attach=False)
+    np.testing.assert_array_equal(
+        pmap, np.arange(small_graph.num_nodes) % 4
+    )
