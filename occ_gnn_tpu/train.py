@@ -210,8 +210,18 @@ def run_infer(args, g, fanouts, timers):
         nodes = np.arange(g.num_nodes, dtype=np.int64)
     else:
         nodes = np.nonzero(masks[args.infer_nodes])[0]
-    sampler = SplitSampler(g, nodes, pmap, P, fanouts, args.batch_size,
-                           seed=args.seed)
+    if args.sampler == "native":
+        from occ_gnn_tpu.sampling.native import NativeSplitSampler
+
+        sampler = NativeSplitSampler(
+            g, nodes, pmap, P, fanouts, args.batch_size, seed=args.seed,
+            num_workers=args.num_workers,
+            replace=not args.sample_without_replacement,
+        )
+    else:
+        sampler = SplitSampler(g, nodes, pmap, P, fanouts, args.batch_size,
+                               seed=args.seed,
+                               replace=not args.sample_without_replacement)
     fwd = make_split_forward(model, mesh)
     preds = np.full(g.num_nodes, -1, dtype=np.int32)
     correct = total = 0
@@ -229,6 +239,8 @@ def run_infer(args, g, fanouts, timers):
         preds[tgt[valid]] = pred[valid]
         correct += int((pred[valid] == labels[valid]).sum())
         total += int(valid.sum())
+    if hasattr(sampler, "close"):
+        sampler.close()
     acc = correct / max(total, 1)
     print(f"infer accuracy ({args.infer_nodes}): {acc:.4f} over {total}")
     out = {"mode": "infer", "acc": acc, "count": total}
