@@ -139,9 +139,14 @@ def main():
     safe = plan_split_capacities(batch_size, fanouts, g.num_nodes, P)
     probe = CachePlan(g, pmap, P, cache_pct,
                       refresh_cap=safe["frame_caps"][0])
+    # margin sizes the padding headroom over the observed per-field maxima.
+    # Counter-intuitively, tighter is not faster here: margin 1.25 measured
+    # 41.7ms/step vs 1.5's 35.7ms at products scale (XLA picks different
+    # layouts for the smaller unaligned shapes) — keep 1.5, tune via env.
+    margin = float(os.environ.get("OCC_BENCH_MARGIN", 1.5))
     caps = measure_split_capacities(
         g, g.train_nodes(), pmap, P, fanouts, batch_size, num_batches=3,
-        margin=1.5, seed=1, cache_plan=probe,
+        margin=margin, seed=1, cache_plan=probe,
     )
     plan = CachePlan(g, pmap, P, cache_pct,
                      refresh_cap=max(caps.pop("refresh_cap", 8), 8))
