@@ -55,3 +55,36 @@ def set_dense_agg_impl(value: str) -> None:
     if value not in _DENSE_AGG_CHOICES:
         raise ValueError(f"dense_agg impl must be one of {_DENSE_AGG_CHOICES}")
     _dense_agg = value
+
+
+_gat_attention: str | None = None
+_GAT_ATTENTION_CHOICES = ("batched", "online")
+
+
+def gat_attention_impl() -> str:
+    """Dense fanout-K GAT attention lowering: 'batched' (one [K_cap, D_cap]
+    leaf gather + exact two-pass softmax over the K axis, leaf-space
+    weighted aggregation, single per-head projection of the partial sums)
+    or 'online' (flash-style one-k-at-a-time streaming softmax with
+    jax.checkpoint; O(D*H) residents but K full carry read/writes).
+
+    Read at TRACE time, same semantics as ``dense_agg_impl``."""
+    global _gat_attention
+    if _gat_attention is None:
+        v = os.environ.get("OCC_GAT_ATTENTION", "batched")
+        if v not in _GAT_ATTENTION_CHOICES:
+            raise ValueError(
+                f"OCC_GAT_ATTENTION={v!r} is not one of "
+                f"{_GAT_ATTENTION_CHOICES}"
+            )
+        _gat_attention = v
+    return _gat_attention
+
+
+def set_gat_attention_impl(value: str) -> None:
+    global _gat_attention
+    if value not in _GAT_ATTENTION_CHOICES:
+        raise ValueError(
+            f"gat_attention impl must be one of {_GAT_ATTENTION_CHOICES}"
+        )
+    _gat_attention = value

@@ -170,44 +170,39 @@ class SplitGAT:
                 er_frame, lyr.push_idx, lyr.recv_idx, dst_cap
             )
         if lyr.nbr_idx is not None:
-            # Dense fanout-K attention, ONLINE-softmax form (flash-style):
-            # one pass over the K axis, each step gathering LEAF rows of x
-            # (not the projected feat) so the backward is a matmul
-            # transpose, never a scatter into the [F_cap, K*D] projection
-            # — the round-1 GAT compile/step killer. (m, s, v) running
-            # triples rescale exactly; jax.checkpoint per step keeps
-            # residents O(D*H) instead of O(K*D*H).
+            from occ_gnn_tpu.ops.config import gat_attention_impl
+
             nbr = lyr.nbr_idx                           # [K_cap, D_cap]
             sentinel = x.shape[0] - 1                   # reserved zero row
-
-            def att_step(carry, kk):
-                m, s, v = carry
-                idx = nbr[kk]
-                valid = (idx != sentinel)[:, None]      # [D, 1]
-                xg = x[idx].astype(jnp.float32)         # [D, H_in] leaf
-                zk = jax.nn.leaky_relu(
-                    xg @ wl + er_frame, self.negative_slope
+            if gat_attention_impl() == "batched":
+                # Dense fanout-K attention, BATCHED two-pass form: gather
+                # all K leaf rows of x once, exact softmax over the K axis,
+                # weighted aggregation in LEAF space per head, then one
+                # per-head projection of the partial sums (linearity: the
+                # project-then-aggregate and aggregate-then-project forms
+                # are equal). vs the online form this removes K full
+                # read/writes of the (m, s, v) carries and the K-fold
+                # redundant projection of gathered rows; the backward reads
+                # xg from residuals (sequential) instead of re-gathering.
+                xg = x[nbr].astype(jnp.float32)         # [K, D, H_in]
+                valid = (nbr != sentinel)[..., None]    # [K, D, 1]
+                z = jax.nn.leaky_relu(
+                    xg @ wl + er_frame[None], self.negative_slope
+                )                                       # [K, D, K_heads]
+                z = jnp.where(valid, z, -jnp.inf)
+                m_loc = jnp.max(z, axis=0)              # [D, K_heads]
+                safe = jnp.where(jnp.isfinite(m_loc), m_loc, 0.0)
+                pw = jnp.where(valid, jnp.exp(z - safe[None]), 0.0)
+                s_loc = jnp.sum(pw, axis=0)             # [D, K_heads]
+                # Leaf-space weighted partial sums per head, then project:
+                # v_loc[d, c, :] = (sum_k pw[k,d,c] * xg[k,d,:]) @ w3[:,c,:].
+                agg = jnp.einsum("kdc,kdh->dch", pw, xg)  # [D, K_heads, H]
+                v_loc = jnp.einsum("dch,hco->dco", agg, w3)
+            else:
+                m_loc, s_loc, v_loc = self._attention_online(
+                    p["w"], lyr, x, wl, er_frame, nbr, sentinel, k, d_out,
+                    dst_cap,
                 )
-                zk = jnp.where(valid, zk, -jnp.inf)
-                m_new = jnp.maximum(m, zk)
-                safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
-                scale = jnp.where(
-                    jnp.isfinite(m), jnp.exp(m - safe), 0.0
-                )
-                pk = jnp.where(valid, jnp.exp(zk - safe), 0.0)
-                fk = (xg @ p["w"]).reshape(-1, k, d_out)
-                s = s * scale + pk
-                v = v * scale[..., None] + pk[..., None] * fk
-                return (m_new, s, v)
-
-            m_loc = jnp.full((dst_cap, k), -jnp.inf, jnp.float32)
-            s_loc = jnp.zeros((dst_cap, k), jnp.float32)
-            v_loc = jnp.zeros((dst_cap, k, d_out), jnp.float32)
-            carry = (m_loc, s_loc, v_loc)
-            step_ck = jax.checkpoint(att_step, static_argnums=(1,))
-            for kk in range(nbr.shape[0]):
-                carry = step_ck(carry, kk)
-            m_loc, s_loc, v_loc = carry
         else:
             feat = (x @ p["w"]).reshape(-1, k, d_out)   # [F_cap, K, D]
             el = jnp.einsum("skd,kd->sk", feat, p["attn_l"])
@@ -245,6 +240,46 @@ class SplitGAT:
         if is_last:
             return out.mean(axis=1)
         return (out.reshape(-1, k * d_out) + p["b"]) * lyr.owned_mask[:, None]
+
+    def _attention_online(self, w, lyr, x, wl, er_frame, nbr, sentinel,
+                          k, d_out, dst_cap):
+        """ONLINE-softmax (flash-style) fallback: one pass over the K axis,
+        each step gathering LEAF rows of x so the backward is a matmul
+        transpose, never a scatter into the [F_cap, K*D] projection — the
+        round-1 GAT compile/step killer. jax.checkpoint per step keeps
+        residents O(D*H) instead of O(K*D*H); the price is K full
+        read/writes of the (m, s, v) carries (select with
+        OCC_GAT_ATTENTION=online when HBM is too tight for the batched
+        form's [K_cap, D_cap, H] residuals)."""
+
+        def att_step(carry, kk):
+            m, s, v = carry
+            idx = nbr[kk]
+            valid = (idx != sentinel)[:, None]      # [D, 1]
+            xg = x[idx].astype(jnp.float32)         # [D, H_in] leaf
+            zk = jax.nn.leaky_relu(
+                xg @ wl + er_frame, self.negative_slope
+            )
+            zk = jnp.where(valid, zk, -jnp.inf)
+            m_new = jnp.maximum(m, zk)
+            safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            scale = jnp.where(
+                jnp.isfinite(m), jnp.exp(m - safe), 0.0
+            )
+            pk = jnp.where(valid, jnp.exp(zk - safe), 0.0)
+            fk = (xg @ w).reshape(-1, k, d_out)
+            s = s * scale + pk
+            v = v * scale[..., None] + pk[..., None] * fk
+            return (m_new, s, v)
+
+        m_loc = jnp.full((dst_cap, k), -jnp.inf, jnp.float32)
+        s_loc = jnp.zeros((dst_cap, k), jnp.float32)
+        v_loc = jnp.zeros((dst_cap, k, d_out), jnp.float32)
+        carry = (m_loc, s_loc, v_loc)
+        step_ck = jax.checkpoint(att_step, static_argnums=(1,))
+        for kk in range(nbr.shape[0]):
+            carry = step_ck(carry, kk)
+        return carry
 
     def forward_local(self, params, layers, x):
         n = len(layers)

@@ -284,6 +284,32 @@ def test_split_gat_dense_matches_coo(sliced):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_split_gat_batched_matches_online(sliced):
+    """The batched two-pass attention (default) equals the online-softmax
+    fallback bit-for-bit up to float association."""
+    from occ_gnn_tpu.ops import config as ops_config
+    from occ_gnn_tpu.parallel.model import SplitGAT
+
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    mesh = make_mesh(P)
+    model = SplitGAT(g.feature_dim, 6, g.num_classes, 2, num_heads=2)
+    params = model.init(jax.random.PRNGKey(13))
+    xs = _gather_split_features(g, split_batch)
+    assert all(l.nbr_idx is not None for l in split_batch.layers)
+    old = ops_config.gat_attention_impl()
+    try:
+        ops_config.set_gat_attention_impl("batched")
+        logits_b = np.asarray(make_split_forward(model, mesh)(
+            params, split_batch, xs))
+        ops_config.set_gat_attention_impl("online")
+        # impl is read at trace time: a fresh forward picks it up.
+        logits_o = np.asarray(make_split_forward(model, mesh)(
+            params, split_batch, xs))
+    finally:
+        ops_config.set_gat_attention_impl(old)
+    np.testing.assert_allclose(logits_b, logits_o, rtol=1e-4, atol=1e-4)
+
+
 def test_split_bf16_training_learns(community_graph):
     """bf16 activations/cache (f32 accumulation) must still converge."""
     g = community_graph
