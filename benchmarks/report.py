@@ -25,26 +25,35 @@ def main():
             lines = [json.loads(l) for l in fp if l.strip()]
         if not lines:
             continue
-        rec = lines[-1]
-        print(f"## {rec.get('experiment', name)}\n")
-        rec.pop("time", None)
-        rec.pop("experiment", None)
-        if "rows" in rec:
-            rows = rec.pop("rows")
-            if rows:
-                keys = []
-                for r in rows:  # union, insertion-ordered
-                    for k in r:
-                        if k not in keys:
-                            keys.append(k)
-                print("| " + " | ".join(keys) + " |")
-                print("|" + "---|" * len(keys))
-                for r in rows:
-                    print("| " + " | ".join(str(r.get(k, ""))
-                                            for k in keys) + " |")
-        for k, v in rec.items():
-            print(f"- {k}: {v}")
-        print()
+        # Latest record per (experiment, model) so e.g. the SAGE headline
+        # and the GAT number in bench_tpu.jsonl both survive.
+        latest: dict[tuple, dict] = {}
+        for rec in lines:
+            key = (rec.get("experiment", name), rec.get("model"))
+            latest[key] = rec
+        for rec in latest.values():
+            title = rec.get("experiment", name)
+            if rec.get("model"):
+                title += f" ({rec['model']})"
+            print(f"## {title}\n")
+            rec.pop("time", None)
+            rec.pop("experiment", None)
+            if "rows" in rec:
+                rows = rec.pop("rows")
+                if rows:
+                    keys = []
+                    for r in rows:  # union, insertion-ordered
+                        for k in r:
+                            if k not in keys:
+                                keys.append(k)
+                    print("| " + " | ".join(keys) + " |")
+                    print("|" + "---|" * len(keys))
+                    for r in rows:
+                        print("| " + " | ".join(str(r.get(k, ""))
+                                                for k in keys) + " |")
+            for k, v in rec.items():
+                print(f"- {k}: {v}")
+            print()
 
 
 if __name__ == "__main__":
