@@ -187,6 +187,13 @@ struct XorShift {
     s ^= s << 17;
     return s;
   }
+  // Uniform draw from [0, bound) via Lemire's multiply-shift reduction —
+  // a 64-bit modulo costs ~30 cycles and the sampler draws one per edge;
+  // the multiply-high costs ~3. Bias is bound/2^64 (immeasurable for any
+  // real degree; validated by the chi-square distribution tests).
+  inline uint64_t bounded(uint64_t bound) {
+    return (uint64_t)(((__uint128_t)next() * bound) >> 64);
+  }
 };
 
 class Worker {
@@ -201,6 +208,13 @@ class Worker {
     for (int p = 0; p < cfg.P; p++) foreign_mask_[p].assign(max_frontier, 0);
     if (cfg.owner_local) tail_id_.assign(cfg.num_nodes, -1);
     layers_.resize(cfg.L);
+    for_e_.resize(cfg.P);
+    foreign_rows_.resize(cfg.P);
+    ecnt_.resize(cfg.P);
+    own_cursor_.resize(cfg.P);
+    cursor_.resize(cfg.P);
+    fcnt_.resize(cfg.P);
+    n_own_.resize(cfg.P);
   }
 
   // Sample + slice one batch into `out`. Returns false on overflow (error
@@ -225,6 +239,21 @@ class Worker {
   std::vector<int32_t> tail_id_;                    // per-sample tail assign
   std::vector<int64_t> tail_nodes_scratch_;
   std::vector<int64_t> chosen_scratch_;  // reservoir scratch (fanout > 64)
+  // slice_layer arenas, reused across batches (per-batch std::vector
+  // construction was the dominant slicing cost after the memory walks —
+  // see benchmarks/probe_slicer.py before/after records).
+  std::vector<std::vector<Edge>> for_e_;            // foreign-dst buckets
+  std::vector<std::vector<int32_t>> foreign_rows_;  // per partition
+  std::vector<int64_t> ecnt_, own_cursor_, cursor_, fcnt_;
+  std::vector<int32_t> n_own_;
+  // Frame-indexed routing precompute for the cache layer: src partition
+  // and frame row per UNIQUE src node instead of per edge (the frame is
+  // ~5x smaller than the edge list, so ~5x fewer random N-sized lookups).
+  // Packed as (part << 32) | row so the edge loop costs ONE cache line
+  // per src lookup.
+  std::vector<int64_t> src_route_;
+  static inline int32_t route_part(int64_t r) { return (int32_t)(r >> 32); }
+  static inline int32_t route_row(int64_t r) { return (int32_t)r; }
 };
 
 void Worker::sample_raw(const std::vector<int64_t>& batch) {
@@ -265,76 +294,90 @@ void Worker::sample_raw(const std::vector<int64_t>& batch) {
     }
     int fanout = cfg_.fanouts[d];
     int64_t chosen_stack[64];  // Floyd's scratch for small fanout
+    // Per-neighbor dedup/renumber (reference duplicate.cpp:14-39 trick).
+    // Called through the chunked emitter below, which prefetches the
+    // mask_/indices cache lines a chunk ahead — the random walks over the
+    // N-sized mask and the adjacency array are the sampling bottleneck,
+    // and chunking turns their serial misses into parallel ones.
+    auto emit = [&](int64_t i, int64_t u) {
+      int32_t pos = mask_[u];
+      if (pos == 0) {
+        ls.frame.push_back(u);
+        pos = (int32_t)ls.frame.size();
+        mask_[u] = pos;
+        int32_t pp = cfg_.wmap[u];
+        ls.frame_owner.push_back(pp);
+        ls.frame_rank.push_back(owner_cnt[pp]++);
+      }
+      ls.edges.push_back({(int32_t)i, pos - 1});
+    };
+    constexpr int64_t CHUNK = 32;
+    int64_t ubuf[CHUNK];
     for (int64_t i = 0; i < n; i++) {
       int64_t v = frontier[i];
+      if (i + 4 < n) __builtin_prefetch(&cfg_.indptr[frontier[i + 4]]);
       // self loop first (mask already set: src_pos = i)
       ls.edges.push_back({(int32_t)i, (int32_t)i});
-      int32_t c = 1;
       int64_t deg = cfg_.indptr[v + 1] - cfg_.indptr[v];
       int64_t off = cfg_.indptr[v];
       // fanout < 0 means full neighborhood (reference fanout=-1)
       int64_t take = (fanout < 0 || deg <= fanout) ? deg : fanout;
       bool subsample = take != deg;
+      const int64_t* chosen = nullptr;  // offsets into the adjacency row
+      int64_t nc = take;
       if (subsample && !cfg_.sample_replace) {
         // `fanout` DISTINCT offsets from [0, deg) (DGL sample_neighbors
         // semantics). Small fanout: Floyd's algorithm (O(fanout) linear
         // membership scans are cache-cheap). Large fanout: reservoir
         // sampling, Algorithm R (O(deg), no membership scans) — no silent
         // with-replacement degradation at any fanout.
-        int64_t* chosen = chosen_stack;
-        int64_t nc = 0;
+        int64_t* ch = chosen_stack;
         if (fanout <= 64) {
+          int64_t k2 = 0;
           for (int64_t j = deg - fanout; j < deg; j++) {
-            int64_t t = (int64_t)(rng_.next() % (uint64_t)(j + 1));
+            int64_t t = (int64_t)rng_.bounded((uint64_t)(j + 1));
             bool seen = false;
-            for (int64_t k = 0; k < nc; k++)
-              if (chosen[k] == t) { seen = true; break; }
-            chosen[nc++] = seen ? j : t;
+            for (int64_t k = 0; k < k2; k++)
+              if (ch[k] == t) { seen = true; break; }
+            ch[k2++] = seen ? j : t;
           }
+          nc = k2;
         } else {
           chosen_scratch_.resize(fanout);
-          chosen = chosen_scratch_.data();
-          for (int64_t j = 0; j < fanout; j++) chosen[j] = j;
+          ch = chosen_scratch_.data();
+          for (int64_t j = 0; j < fanout; j++) ch[j] = j;
           for (int64_t j = fanout; j < deg; j++) {
-            int64_t t = (int64_t)(rng_.next() % (uint64_t)(j + 1));
-            if (t < fanout) chosen[t] = j;
+            int64_t t = (int64_t)rng_.bounded((uint64_t)(j + 1));
+            if (t < fanout) ch[t] = j;
           }
           nc = fanout;
         }
-        for (int64_t j = 0; j < nc; j++) {
-          int64_t u = cfg_.indices[off + chosen[j]];
-          int32_t pos = mask_[u];
-          if (pos == 0) {
-            ls.frame.push_back(u);
-            pos = (int32_t)ls.frame.size();
-            mask_[u] = pos;
-            int32_t pp = cfg_.wmap[u];
-            ls.frame_owner.push_back(pp);
-            ls.frame_rank.push_back(owner_cnt[pp]++);
-          }
-          ls.edges.push_back({(int32_t)i, pos - 1});
-          c++;
-        }
-        ls.counts[i] = c;
-        continue;
+        chosen = ch;
       }
-      for (int64_t j = 0; j < take; j++) {
-        int64_t u = (take == deg)
-                        ? cfg_.indices[off + j]
-                        : cfg_.indices[off + (int64_t)(rng_.next() % deg)];
-        int32_t pos = mask_[u];
-        if (pos == 0) {
-          ls.frame.push_back(u);
-          pos = (int32_t)ls.frame.size();
-          mask_[u] = pos;
-          int32_t p = cfg_.wmap[u];
-          ls.frame_owner.push_back(p);
-          ls.frame_rank.push_back(owner_cnt[p]++);
+      int64_t done = 0;
+      while (done < nc) {
+        int64_t m = std::min(CHUNK, nc - done);
+        if (chosen != nullptr) {
+          for (int64_t t = 0; t < m; t++)
+            __builtin_prefetch(&cfg_.indices[off + chosen[done + t]]);
+          for (int64_t t = 0; t < m; t++)
+            ubuf[t] = cfg_.indices[off + chosen[done + t]];
+        } else if (take == deg) {
+          for (int64_t t = 0; t < m; t++)
+            ubuf[t] = cfg_.indices[off + done + t];
+        } else {  // with replacement: rand % deg (reference slicer.cpp)
+          for (int64_t t = 0; t < m; t++)
+            ubuf[t] = (int64_t)rng_.bounded((uint64_t)deg);
+          for (int64_t t = 0; t < m; t++)
+            __builtin_prefetch(&cfg_.indices[off + ubuf[t]]);
+          for (int64_t t = 0; t < m; t++)
+            ubuf[t] = cfg_.indices[off + ubuf[t]];
         }
-        ls.edges.push_back({(int32_t)i, pos - 1});
-        c++;
+        for (int64_t t = 0; t < m; t++) __builtin_prefetch(&mask_[ubuf[t]]);
+        for (int64_t t = 0; t < m; t++) emit(i, ubuf[t]);
+        done += m;
       }
-      ls.counts[i] = c;
+      ls.counts[i] = (int32_t)(nc + 1);  // + self loop
     }
     for (int64_t v : ls.frame) mask_[v] = 0;
     frontier = ls.frame.data();
@@ -346,9 +389,9 @@ bool Worker::slice_layer(int l, Sample* out) {
   const int P = cfg_.P;
   int d = cfg_.L - 1 - l;  // sampled depth consumed by model layer l
   const LayerSample& ls = layers_[d];
-  // Frontier of depth d == frame of depth d-1 (or the initial frontier).
-  const int64_t* frontier =
-      d == 0 ? frontier0_.data() : layers_[d - 1].frame.data();
+  // Frontier of depth d == frame of depth d-1 (or the initial frontier);
+  // per-row global ids are read through the frame prefix (src_row_), so
+  // only the owner/rank views are needed here.
   const int32_t* dst_owner =
       d == 0 ? f0_owner_.data() : layers_[d - 1].frame_owner.data();
   const int32_t* dst_rank =
@@ -372,10 +415,10 @@ bool Worker::slice_layer(int l, Sample* out) {
   if (!use_cache) {
     // The reserved row must stay unallocated: the layer's src frame may
     // fill at most frame_cap - 1 rows per partition.
-    std::vector<int64_t> fcnt(P, 0);
-    for (int32_t fo : ls.frame_owner) fcnt[fo]++;
+    std::fill(fcnt_.begin(), fcnt_.end(), 0);
+    for (int32_t fo : ls.frame_owner) fcnt_[fo]++;
     for (int p = 0; p < P; p++) {
-      if (fcnt[p] > cfg_.frame_caps[l] - 1) {
+      if (fcnt_[p] > cfg_.frame_caps[l] - 1) {
         out->error = 8;  // src frame overflow (reserved zero row)
         return false;
       }
@@ -383,8 +426,11 @@ bool Worker::slice_layer(int l, Sample* out) {
   }
   const int PE = cfg_.n_emit();
   const int LO = cfg_.emit_lo;
-  L.edge_src.assign((size_t)PE * E_cap, 0);
-  L.edge_dst.assign((size_t)PE * E_cap, (int32_t)D_cap);
+  // Edge arrays are written front-to-back then TAIL-padded after the edge
+  // pass (a full pre-fill would touch 2x the bytes); nbr takes scattered
+  // writes so it keeps the sentinel pre-fill.
+  L.edge_src.resize((size_t)PE * E_cap);
+  L.edge_dst.resize((size_t)PE * E_cap);
   if (K_cap > 0)
     L.nbr.assign((size_t)PE * K_cap * D_cap, sentinel);
   else
@@ -397,7 +443,8 @@ bool Worker::slice_layer(int l, Sample* out) {
   L.owned_mask.assign((size_t)PE * O_cap, 0);
   L.num_owned.assign(PE, 0);
 
-  std::vector<int32_t> n_own(P, 0);
+  int32_t* n_own = n_own_.data();
+  std::fill(n_own_.begin(), n_own_.end(), 0);
   for (int64_t i = 0; i < n; i++) n_own[dst_owner[i]]++;
   for (int p = 0; p < P; p++) {
     if (n_own[p] > O_cap) {
@@ -406,55 +453,107 @@ bool Worker::slice_layer(int l, Sample* out) {
     }
   }
 
-  // Per-partition edge buckets (owned-dst then foreign-dst keeps local dst
-  // ids sorted — both subsequences are ascending in frontier row).
-  std::vector<std::vector<Edge>> own_e(P), for_e(P);
-  std::vector<std::vector<int32_t>> foreign_rows(P);  // frontier rows
-  std::vector<int64_t> ecnt(P, 0);  // per-partition edge count (global)
-  auto cache_local = [&](int64_t u, int p) -> int32_t {
-    if (cfg_.wmap[u] == p) {
+  // Frame-indexed routing precompute (cache layer): partition + frame row
+  // per UNIQUE src node. The frame is several times smaller than the edge
+  // list, so the random owner_local/wmap/tail walks run once per node
+  // instead of once per edge; the edge loop then reads two frame-sized
+  // arrays. Also subsumes the per-edge error-5 check: every frame node is
+  // validated here (a superset of the edge srcs), identically on every
+  // host.
+  const bool have_foreign =
+      cfg_.foreign_off != nullptr && cfg_.foreign_off[P] > 0;
+  if (use_cache) {
+    size_t fs = ls.frame.size();
+    src_route_.resize(fs);
+    const int64_t* fr = ls.frame.data();
+    const int32_t* fo = ls.frame_owner.data();  // = wmap[frame], no re-walk
+    for (size_t i = 0; i < fs; i++) {
+      if (i + 8 < fs) __builtin_prefetch(&cfg_.owner_local[fr[i + 8]]);
+      int64_t u = fr[i];
       int32_t g = cfg_.owner_local[u];
-      if (g >= 0) return g;
-      return tail_id_[u];  // assigned in the deepest-frame pre-pass
-    }
-    return cfg_.foreign_row(u, p);  // high-degree foreign extra
-  };
-  for (const Edge& e : ls.edges) {
-    int64_t i = e.dst_row;
-    int64_t u_global = ls.frame[e.src_pos];
-    int p;
-    int32_t src_local;
-    if (use_cache) {
-      int q = dst_owner[i];
-      bool natural =
-          (cfg_.wmap[u_global] == q && cfg_.owner_local[u_global] >= 0) ||
-          cfg_.foreign_row(u_global, q) >= 0;
-      p = natural ? q : cfg_.wmap[u_global];
-      src_local = cache_local(u_global, p);
-      if (src_local < 0) {
+      int32_t row = g >= 0 ? g : tail_id_[u];
+      if (row < 0) {
         out->error = 5;  // routed src missing from cache
         return false;
       }
+      src_route_[i] = ((int64_t)fo[i] << 32) | (uint32_t)row;
+    }
+  }
+
+  // Edge pass: owned-dst edges stream DIRECTLY into the output arrays
+  // (they arrive already sorted by local dst — dst_rank is monotone over
+  // the frontier rows of each owner); only foreign-dst edges are
+  // bucketed, to be appended after the owned block. All buckets/counters
+  // are member arenas — zero allocation per batch.
+  for (int p = 0; p < P; p++) {
+    for_e_[p].clear();
+    foreign_rows_[p].clear();
+  }
+  std::fill(ecnt_.begin(), ecnt_.end(), 0);
+  std::fill(own_cursor_.begin(), own_cursor_.end(), 0);
+  int64_t* ecnt = ecnt_.data();
+  int64_t* own_cursor = own_cursor_.data();
+  const Edge* eptr = ls.edges.data();
+  const size_t ne = ls.edges.size();
+  for (size_t t = 0; t < ne; t++) {
+    // The per-edge src lookup is a random walk over a frame-sized array;
+    // the edge record itself is sequential, so the lookup address is known
+    // a chunk ahead — prefetch it.
+    if (t + 16 < ne) {
+      int32_t sp = eptr[t + 16].src_pos;
+      if (use_cache) {
+        __builtin_prefetch(&src_route_[sp]);
+      } else {
+        __builtin_prefetch(&ls.frame_owner[sp]);
+        __builtin_prefetch(&ls.frame_rank[sp]);
+      }
+    }
+    const Edge& e = eptr[t];
+    int64_t i = e.dst_row;
+    int32_t s = e.src_pos;
+    int p;
+    int32_t src_local;
+    if (use_cache) {
+      int64_t r = src_route_[s];
+      p = route_part(r);
+      src_local = route_row(r);
+      if (have_foreign) {
+        int q = dst_owner[i];
+        if (q != p) {
+          int32_t frow = cfg_.foreign_row(ls.frame[s], q);
+          if (frow >= 0) {  // natural edge: src cached on dst's partition
+            p = q;
+            src_local = frow;
+          }
+        }
+      }
     } else {
-      p = ls.frame_owner[e.src_pos];
-      src_local = ls.frame_rank[e.src_pos];
+      p = ls.frame_owner[s];
+      src_local = ls.frame_rank[s];
     }
     if (dst_owner[i] == p) {
       ecnt[p]++;
-      if (cfg_.local(p)) own_e[p].push_back({dst_rank[i], src_local});
+      if (cfg_.local(p)) {
+        int64_t c = own_cursor[p]++;
+        if (c < E_cap) {  // overflow reported by the ecnt check below,
+                          // identically on every host
+          L.edge_dst[(size_t)(p - LO) * E_cap + c] = dst_rank[i];
+          L.edge_src[(size_t)(p - LO) * E_cap + c] = src_local;
+        }
+      }
     } else {
       int32_t& fm = foreign_mask_[p][i];
       if (fm == 0) {
-        foreign_rows[p].push_back((int32_t)i);
-        fm = (int32_t)foreign_rows[p].size();  // k + 1
+        foreign_rows_[p].push_back((int32_t)i);
+        fm = (int32_t)foreign_rows_[p].size();  // k + 1
       }
       ecnt[p]++;
       if (cfg_.local(p))
-        for_e[p].push_back({(int32_t)(n_own[p] + fm - 1), src_local});
+        for_e_[p].push_back({(int32_t)(n_own[p] + fm - 1), src_local});
     }
   }
   for (int p = 0; p < P; p++) {
-    for (int32_t i : foreign_rows[p]) foreign_mask_[p][i] = 0;
+    for (int32_t i : foreign_rows_[p]) foreign_mask_[p][i] = 0;
   }
 
   for (int p = 0; p < P; p++) {
@@ -462,7 +561,7 @@ bool Worker::slice_layer(int l, Sample* out) {
       out->error = 2;  // edge overflow
       return false;
     }
-    if (n_own[p] + (int64_t)foreign_rows[p].size() > D_cap) {
+    if (n_own[p] + (int64_t)foreign_rows_[p].size() > D_cap) {
       out->error = 3;  // dst frame overflow
       return false;
     }
@@ -470,11 +569,11 @@ bool Worker::slice_layer(int l, Sample* out) {
     // remote p's push ordering); the heavy edge/nbr emission only for
     // local p.
     {
-      std::vector<int64_t> cursor(P, 0);
-      for (size_t t = 0; t < foreign_rows[p].size(); t++) {
-        int32_t i = foreign_rows[p][t];
+      std::fill(cursor_.begin(), cursor_.end(), 0);
+      for (size_t t = 0; t < foreign_rows_[p].size(); t++) {
+        int32_t i = foreign_rows_[p][t];
         int q = dst_owner[i];
-        int64_t c = cursor[q]++;
+        int64_t c = cursor_[q]++;
         if (c >= S_cap) {
           out->error = 4;  // shuffle overflow
           return false;
@@ -489,17 +588,15 @@ bool Worker::slice_layer(int l, Sample* out) {
     if (!cfg_.local(p)) continue;
     int32_t* es = L.edge_src.data() + (size_t)(p - LO) * E_cap;
     int32_t* ed = L.edge_dst.data() + (size_t)(p - LO) * E_cap;
-    int64_t k = 0;
-    for (const Edge& e : own_e[p]) {
-      ed[k] = e.dst_row;  // here dst_row holds the LOCAL dst id
-      es[k] = e.src_pos;  // and src_pos the LOCAL src id
-      k++;
-    }
-    for (const Edge& e : for_e[p]) {
+    int64_t k = own_cursor[p];  // owned block already written in place
+    for (const Edge& e : for_e_[p]) {
       ed[k] = e.dst_row;
       es[k] = e.src_pos;
       k++;
     }
+    // Tail padding (the pre-fill this replaces touched all E_cap slots).
+    std::fill(ed + k, ed + E_cap, (int32_t)D_cap);
+    std::fill(es + k, es + E_cap, 0);
     // Edges within own_e are in frontier-row order; local owned ids are the
     // rank within owner, also ascending. But interleaved partitions mean
     // own_e isn't globally sorted by local id when... it is: dst_rank is
@@ -543,18 +640,17 @@ bool Worker::slice_layer(int l, Sample* out) {
 
   }
 
-  // Owned per-row data (cache_local checked for all p so hosts agree on
-  // error 5; writes only for local p).
+  // Owned per-row data (error 5 was already checked for the whole frame
+  // in the routing precompute, identically on every host; writes only for
+  // local p). The frontier is the PREFIX of the frame (sample_raw pushes
+  // it first), so src_row_[i] is exactly the cache row of frontier[i] on
+  // its owner — no extra random walk.
   for (int64_t i = 0; i < n; i++) {
     int p = dst_owner[i];
     int32_t t = dst_rank[i];
     int32_t self_row;
     if (use_cache) {
-      self_row = cache_local(frontier[i], p);
-      if (self_row < 0) {
-        out->error = 5;
-        return false;
-      }
+      self_row = route_row(src_route_[i]);
     } else {
       // frontier is a prefix of the frame: frame row i.
       self_row = ls.frame_rank[i];
@@ -589,8 +685,12 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out,
   if (cfg_.owner_local) {
     out->refresh_nodes.assign((size_t)P * cfg_.refresh_cap, -1);
     std::vector<int64_t> tail_cnt(P, 0);
-    for (int64_t u : deepest.frame) {
-      int p = cfg_.wmap[u];
+    const size_t dn = deepest.frame.size();
+    for (size_t di = 0; di < dn; di++) {
+      if (di + 8 < dn)
+        __builtin_prefetch(&cfg_.owner_local[deepest.frame[di + 8]]);
+      int64_t u = deepest.frame[di];
+      int p = deepest.frame_owner[di];  // = wmap[u], already computed
       if (cfg_.owner_local[u] < 0 && tail_id_[u] < 0) {
         int64_t c = tail_cnt[p]++;
         if (c >= cfg_.refresh_cap) {
@@ -615,8 +715,9 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out,
     const int LO = cfg_.emit_lo;
     out->input_nodes.assign((size_t)PE * cfg_.frame_caps[0], -1);
     std::vector<int64_t> cnt(P, 0);
-    for (int64_t u : deepest.frame) {
-      int p = cfg_.wmap[u];
+    for (size_t di = 0; di < deepest.frame.size(); di++) {
+      int64_t u = deepest.frame[di];
+      int p = deepest.frame_owner[di];  // = wmap[u], already computed
       int64_t c = cnt[p]++;
       if (c >= cfg_.frame_caps[0]) {
         ok = false, out->error = 7;  // input frame overflow

