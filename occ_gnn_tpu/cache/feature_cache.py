@@ -173,13 +173,16 @@ class CachePlan:
         for capacity measurement — callers must not touch ``_dynamic``."""
         return [int(d.shape[0]) for d in self._dynamic]
 
-    def static_features(self) -> np.ndarray:
-        """[P, frame_cap, H] initial frames (tail zeroed)."""
+    def static_features(self, lo: int = 0, hi: int | None = None) -> np.ndarray:
+        """[hi-lo, frame_cap, H] initial frames (tail zeroed) for
+        partitions [lo, hi) — multi-host callers build only their local
+        rows; the default is all P."""
+        hi = self.P if hi is None else hi
         H = self.graph.feature_dim
-        out = np.zeros((self.P, self.frame_cap, H), dtype=np.float32)
-        for p in range(self.P):
+        out = np.zeros((hi - lo, self.frame_cap, H), dtype=np.float32)
+        for i, p in enumerate(range(lo, hi)):
             rows = self.static_nodes[p]
-            out[p, : rows.shape[0]] = self.graph.features[rows]
+            out[i, : rows.shape[0]] = self.graph.features[rows]
         return out
 
     def refresh(self, last_layer_nodes: np.ndarray) -> np.ndarray | None:

@@ -69,6 +69,80 @@ def assemble_global(mesh: jax.sharding.Mesh, tree):
     return jax.tree_util.tree_map(put, tree)
 
 
+class MultiHostFeatureCache:
+    """SplitFeatureCache for multi-process runs: the global
+    ``frames[P, frame_cap, H]`` array is assembled from per-host LOCAL rows
+    (``jax.make_array_from_process_local_data``), so each host gathers
+    static features and per-batch refresh tails only for the partitions its
+    chips own — feature RAM traffic and H2D bytes scale ~1/num_hosts.
+
+    Drop-in for SplitFeatureCache (same ``frames``/``refresh``/
+    ``apply_tail`` surface, so NativeSplitSampler's delivery-time
+    ``apply_tail`` hook works unchanged); single-process runs degrade to
+    a device_put of the full frames.
+    """
+
+    def __init__(self, plan, mesh: jax.sharding.Mesh, dtype=None):
+        import jax.numpy as jnp
+
+        self.plan = plan
+        self.mesh = mesh
+        self.dtype = dtype or jnp.float32
+        self.lo, self.hi = local_partition_range(mesh)
+        self._sharding = NamedSharding(mesh, P("p"))
+        local = plan.static_features(self.lo, self.hi).astype(
+            np.dtype(self.dtype)
+        )
+        self.frames = self._assemble(local)
+        self._update = None
+
+    def _assemble(self, local_rows: np.ndarray):
+        if jax.process_count() == 1:
+            return jax.device_put(local_rows, self._sharding)
+        return jax.make_array_from_process_local_data(
+            self._sharding, local_rows
+        )
+
+    def _update_fn(self):
+        if self._update is None:
+            ts = self.plan.tail_start
+            rc = self.plan.refresh_cap
+
+            @jax.jit
+            def update(frames, tail):
+                return frames.at[:, ts : ts + rc, :].set(tail)
+
+            self._update = update
+        return self._update
+
+    def refresh(self, last_layer_nodes: np.ndarray) -> None:
+        """Numpy-sampler path: plan.refresh keeps global bookkeeping (all
+        hosts run it identically), but only local rows cross to devices."""
+        tail = self.plan.refresh(last_layer_nodes)
+        if tail is None:
+            return
+        local = np.asarray(tail[self.lo : self.hi]).astype(
+            np.dtype(self.dtype)
+        )
+        self.frames = self._update_fn()(self.frames, self._assemble(local))
+
+    def apply_tail(self, refresh_nodes: np.ndarray) -> None:
+        """Native-service path: ``refresh_nodes`` is the ALL-P refresh list
+        (global bookkeeping); features are gathered for LOCAL rows only."""
+        plan = self.plan
+        if not plan.needs_refresh:
+            return
+        H = plan.graph.feature_dim
+        tail = np.zeros((self.hi - self.lo, plan.refresh_cap, H),
+                        dtype=np.dtype(self.dtype))
+        for i, p in enumerate(range(self.lo, self.hi)):
+            rows = refresh_nodes[p]
+            k = int((rows >= 0).sum())
+            if k:
+                tail[i, :k] = plan.graph.features[rows[:k]]
+        self.frames = self._update_fn()(self.frames, self._assemble(tail))
+
+
 class MultiHostSplitSampler:
     """Wraps a SplitSampler/NativeSplitSampler for multi-host runs.
 
@@ -100,6 +174,13 @@ class MultiHostSplitSampler:
     def sample_batch(self, nodes):
         return self._assemble(self.inner.sample_batch(nodes))
 
+    def close(self):
+        if hasattr(self.inner, "close"):
+            self.inner.close()
+
+    def stats(self):
+        return self.inner.stats()
+
     def _assemble(self, batch):
         lo, hi = self.lo, self.hi
 
@@ -108,4 +189,8 @@ class MultiHostSplitSampler:
             return x if self.pre_sliced else x[lo:hi]
 
         local = jax.tree_util.tree_map(slice_local, batch)
-        return assemble_global(self.mesh, local)
+        out = assemble_global(self.mesh, local)
+        # Host-local input rows for no-cache feature gathering: global
+        # sharded arrays are not host-readable in multi-process runs.
+        out._local_input_nodes = np.asarray(local.input_nodes)
+        return out

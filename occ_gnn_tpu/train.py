@@ -73,6 +73,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output", type=str, default="",
                    help="write predictions (npy) for --mode infer")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--limit-train", type=int, default=0,
+                   help="cap the train-node set (benchmarking aid: "
+                        "per-epoch phase tables at scale without paying "
+                        "full epochs; 0 = all train nodes)")
     p.add_argument("--num-nodes", type=int, default=10000,
                    help="synthetic graph size")
     p.add_argument("--avg-degree", type=int, default=10)
@@ -89,8 +93,22 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="capture a jax profiler trace of a few steps")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (virtual 8-device mesh)")
+    p.add_argument("--cpu-devices", type=int, default=8,
+                   help="virtual device count per process with --cpu")
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line of final metrics")
+    # Multi-host (pod) launch: one trainer process per host. On real TPU
+    # pods the three coordinator args are auto-discovered (plain
+    # jax.distributed.initialize()); set them explicitly for CPU clusters
+    # or tests. Split mode then shards the mesh AND the slicing work
+    # across hosts (emit_range) and assembles per-host cache frames
+    # (SURVEY.md §7 step 6 — the reference never ran beyond one box).
+    p.add_argument("--distributed", action="store_true",
+                   help="join a jax.distributed cluster (multi-host pod)")
+    p.add_argument("--coordinator-address", type=str, default="",
+                   help="host:port of process 0 (empty = auto-discover)")
+    p.add_argument("--num-processes", type=int, default=-1)
+    p.add_argument("--process-id", type=int, default=-1)
     return p
 
 
@@ -115,11 +133,24 @@ def main(argv=None):
         import os
 
         os.environ.setdefault(
-            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+            "XLA_FLAGS",
+            f"--xla_force_host_platform_device_count={args.cpu_devices}",
         )
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        import jax
+
+        if not jax.distributed.is_initialized():
+            kw = {}
+            if args.coordinator_address:
+                kw = dict(coordinator_address=args.coordinator_address,
+                          num_processes=args.num_processes,
+                          process_id=args.process_id)
+            jax.distributed.initialize(**kw)
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
     import jax
     import jax.numpy as jnp
     import optax
@@ -250,6 +281,35 @@ def run_infer(args, g, fanouts, timers):
     return out
 
 
+def _train_nodes(args, g) -> np.ndarray:
+    nodes = g.train_nodes()
+    if args.limit_train and args.limit_train < nodes.shape[0]:
+        nodes = nodes[: args.limit_train]
+    return nodes
+
+
+def _gather_xs(g, batch, P, multihost=False, mesh=None):
+    """Per-partition input-frame features. Multi-host: gather THIS host's
+    rows from host RAM and assemble the global sharded array."""
+    import jax.numpy as jnp
+
+    from occ_gnn_tpu.training import gather_features
+
+    if multihost:
+        from occ_gnn_tpu.parallel.multihost import assemble_global
+
+        local_nodes = batch._local_input_nodes
+        xs_local = np.stack([
+            np.asarray(gather_features(g.features, local_nodes[i]))
+            for i in range(local_nodes.shape[0])
+        ])
+        return assemble_global(mesh, xs_local)
+    return jnp.stack([
+        gather_features(g.features, batch.input_nodes[p])
+        for p in range(P)
+    ])
+
+
 def train_split(args, g, fanouts, timers):
     import jax
     import jax.numpy as jnp
@@ -269,6 +329,19 @@ def train_split(args, g, fanouts, timers):
         else:
             pmap = partition_graph(g, P, mode=args.partition_mode)
     mesh = make_mesh(P)
+    # Multi-host: the mesh spans every process's chips; this host slices
+    # only partitions [lo, hi) (emit_range) and holds only those rows of
+    # the cache frames — sampler/cache work scales ~1/num_hosts while the
+    # seeded sampling keeps all hosts bit-agreed with zero communication.
+    multihost = jax.process_count() > 1
+    if multihost:
+        from occ_gnn_tpu.parallel.multihost import (
+            MultiHostFeatureCache,
+            MultiHostSplitSampler,
+            local_partition_range,
+        )
+
+        lo, hi = local_partition_range(mesh)
 
     cache = None
     from occ_gnn_tpu.sampling.slicer import (
@@ -301,28 +374,34 @@ def train_split(args, g, fanouts, timers):
         import jax.numpy as jnp
 
         plan = CachePlan(g, pmap, P, args.cache_per, refresh_cap=refresh_cap)
-        cache = SplitFeatureCache(
-            plan,
-            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        )
+        fdtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        if multihost:
+            cache = MultiHostFeatureCache(plan, mesh, dtype=fdtype)
+        else:
+            cache = SplitFeatureCache(plan, dtype=fdtype)
     else:
         caps.pop("refresh_cap", None)
     def build_sampler(caps, nodes=None, seed=None):
-        nodes = g.train_nodes() if nodes is None else nodes
+        nodes = _train_nodes(args, g) if nodes is None else nodes
         seed = args.seed if seed is None else seed
         if args.sampler == "native":
             from occ_gnn_tpu.sampling.native import NativeSplitSampler
 
-            return NativeSplitSampler(
+            inner = NativeSplitSampler(
                 g, nodes, pmap, P, fanouts, args.batch_size,
                 capacities=caps, seed=seed, cache=cache,
                 num_workers=args.num_workers,
                 replace=not args.sample_without_replacement,
+                emit_range=(lo, hi) if multihost else None,
             )
-        return SplitSampler(g, nodes, pmap, P, fanouts,
-                            args.batch_size, capacities=caps,
-                            seed=seed, cache=cache,
-                            replace=not args.sample_without_replacement)
+        else:
+            inner = SplitSampler(g, nodes, pmap, P, fanouts,
+                                 args.batch_size, capacities=caps,
+                                 seed=seed, cache=cache,
+                                 replace=not args.sample_without_replacement)
+        if multihost:
+            return MultiHostSplitSampler(inner, mesh)
+        return inner
 
     sampler = build_sampler(caps)
 
@@ -365,10 +444,8 @@ def train_split(args, g, fanouts, timers):
                     xs = cache.frames
                 else:
                     with timers.phase("feature_gather"):
-                        xs = jnp.stack([
-                            gather_features(g.features, batch.input_nodes[p])
-                            for p in range(P)
-                        ])
+                        xs = _gather_xs(g, batch, P, multihost,
+                                        mesh if multihost else None)
                 if pending is not None:
                     loss, c, t = pending
                     correct += int(c)
@@ -411,7 +488,7 @@ def train_split(args, g, fanouts, timers):
               f"time={dt:.2f}s [{timers.summary()}]")
         last_phases = {k: round(v, 4) for k, v in timers.as_dict().items()}
         timers.clear()
-        if args.save_dir:
+        if args.save_dir and jax.process_index() == 0:
             from occ_gnn_tpu.utils.checkpoint import save_checkpoint
 
             path = save_checkpoint(
@@ -440,16 +517,18 @@ def train_split(args, g, fanouts, timers):
                 if cache is not None:
                     xs = cache.frames
                 else:
-                    xs = jnp.stack([
-                        gather_features(g.features, batch.input_nodes[p])
-                        for p in range(P)
-                    ])
+                    xs = _gather_xs(g, batch, P, multihost,
+                                    mesh if multihost else None)
                 logits = fwd(params, batch, xs)
-                labels = np.asarray(batch.labels)
-                pred = np.asarray(jnp.argmax(logits, axis=-1))
+                # jnp ops throughout: labels/logits are global sharded
+                # arrays under --distributed (not host-readable via numpy).
+                labels = batch.labels
+                pred = jnp.argmax(logits, axis=-1)
                 valid = labels >= 0
-                correct += int((pred[valid] == labels[valid]).sum())
-                total += int(valid.sum())
+                correct += int(jnp.sum(jnp.where(valid, pred == labels, 0)))
+                total += int(jnp.sum(valid))
+            if hasattr(ev, "close"):
+                ev.close()
             out[f"{split_name}_acc"] = correct / max(total, 1)
             print(f"{split_name} accuracy: {out[f'{split_name}_acc']:.4f}")
     return out
@@ -473,7 +552,7 @@ def train_ddp(args, g, fanouts, timers):
     opt_state = opt.init(params)
     step = make_dp_train_step(model, opt, mesh)
 
-    nodes = g.train_nodes()
+    nodes = _train_nodes(args, g)
     per_dev = args.batch_size // P
     caps = plan_capacities(per_dev, fanouts, g.num_nodes)
     shards = np.array_split(np.random.default_rng(args.seed).permutation(nodes), P)
@@ -542,7 +621,7 @@ def train_quiver(args, g, fanouts, timers):
         g, fanouts, args.batch_size, mesh, opt, seed=args.seed,
         dropout_rate=args.dropout, dtype=dtype,
     )
-    nodes = g.train_nodes()
+    nodes = _train_nodes(args, g)
     acc = loss_v = 0.0
     for epoch in range(args.num_epochs):
         t0 = time.perf_counter()
@@ -576,8 +655,8 @@ def train_single(args, g, fanouts, timers, use_cache: bool):
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
     step = make_train_step(model, opt)
-    sampler = NeighborSampler(g, g.train_nodes(), fanouts, args.batch_size,
-                              seed=args.seed)
+    sampler = NeighborSampler(g, _train_nodes(args, g), fanouts,
+                              args.batch_size, seed=args.seed)
     cache = None
     if use_cache:
         pct = args.cache_per if args.cache_per > 0 else 0.25
