@@ -17,15 +17,17 @@ Capacities are measured (measure_split_capacities), matching how a
 production config would be tuned. OCC_BENCH_NODES=200000 reproduces the
 round-1 small-graph number (now the secondary config).
 
-Metric: steady-state pipelined edges/s/chip. The C++ sampling+slicing
-service runs AHEAD of the device (its per-batch host cost is measured and
-reported in the JSON as cxx_sample_ms/cxx_slice_ms; on any host with
-enough cores it overlaps the device step). The timed loop drives the
-jit'd split step over PRE-STAGED device-ready batches — the host pipeline
-is excluded from the timed region (recorded honestly in the JSON's
-"timed" field) because on this bench harness the TPU is reached via a
-loopback relay that shares the 2-core host with the samplers; exp5
-measures the overlap itself.
+Two throughput numbers, honestly separated (VERDICT r2):
+  * ``split_step_edges_per_s_per_chip`` (the headline `value`): the jit'd
+    split training step over PRE-STAGED device-ready batches — the chip's
+    steady-state step capability, host pipeline excluded from the timed
+    region (the bench host has 2 cores shared with the TPU loopback
+    relay; a production host overlaps with `workers_to_saturate` niced
+    workers).
+  * ``pipelined_edges_per_s``: a second, fully-overlapped run on THIS
+    host — C++ workers sample+slice WHILE the device steps, cache tails
+    included — wall-clocked end to end. On the 2-core bench host this is
+    host-bound; both numbers and the worker math are in the JSON.
 
 Roofline: per-step model FLOPs (3x forward matmul FLOPs over the padded
 owned rows: fwd + dX + dW) and model HBM bytes (dense fanout-K gather
@@ -38,7 +40,18 @@ Baseline: the reference's OCC split-parallel epoch on ogbn-products:
 ~637M sampled edges (190 batches x ~3.35M) in fwd 6.997 + move 11.58 +
 slice 141.8 = 160.4s on 4x M40 GPUs
 (/root/reference/experiments/exp6/exp6.txt:23, BASELINE.md) = 0.99M
-edges/s/GPU full-pipeline. vs_baseline = ours / 0.99M.
+edges/s/GPU full-pipeline. ``vs_baseline`` compares the step-loop number
+(device capability) against that full-pipeline denominator;
+``pipelined_vs_baseline`` is the honest pipeline-vs-pipeline ratio on
+this 2-core host.
+
+Multi-chip shuffle model (VERDICT r2 item 6 — no multi-chip hardware on
+this harness): shuffle_caps are MEASURED at P=8 with a round-robin
+partition (worst-case edge cut, so an upper bound), payload bytes per
+layer = P * S_cap * H * 4 (partial sums shuffle in f32), and the modeled
+all_to_all time = bytes * (P-1)/P / ICI bandwidth (OCC_ICI_BW, default
+4.5e10 B/s — one v5e ICI link direction, the conservative bound) is
+reported as a % of the measured step. Disable with OCC_BENCH_SHUFFLE=0.
 """
 
 from __future__ import annotations
@@ -86,9 +99,43 @@ def model_flops_bytes(caps, feature_dim, hidden, num_classes, x_bytes):
     return flops, bytes_
 
 
+def shuffle_model(g, fanouts, batch_size, hidden, step_s):
+    """Measured-caps multi-chip shuffle quantification (docstring above):
+    returns per-layer payload bytes + modeled ICI time at P=8."""
+    from occ_gnn_tpu.sampling.slicer import measure_split_capacities
+
+    P8 = int(os.environ.get("OCC_SHUFFLE_P", 8))
+    pmap8 = (np.arange(g.num_nodes, dtype=np.int32) % P8).astype(np.int32)
+    caps8 = measure_split_capacities(
+        g, g.train_nodes(), pmap8, P8, fanouts, batch_size,
+        num_batches=2, margin=1.0, seed=11,
+    )
+    dims = [g.feature_dim] + [hidden] * (len(fanouts) - 1)
+    per_layer = [
+        int(P8 * s * h * 4)  # [P, S_cap, H] f32 partial sums
+        for s, h in zip(caps8["shuffle_caps"], dims)
+    ]
+    total = sum(per_layer)
+    ici_bw = float(os.environ.get("OCC_ICI_BW", 4.5e10))
+    ici_s = total * (P8 - 1) / P8 / ici_bw
+    return {
+        "shuffle_bytes_per_layer": per_layer,
+        "shuffle_model_p": P8,
+        "shuffle_model_partition": "round_robin (worst-case cut bound)",
+        "ici_model_ms": round(ici_s * 1e3, 2),
+        "ici_model_pct_of_step": round(100 * ici_s / step_s, 1),
+        "ici_bw_assumed_gbps": round(ici_bw / 1e9, 1),
+    }
+
+
 def main():
     import jax
 
+    if "--cpu" in sys.argv:  # local smoke only; the real bench is the TPU
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        jax.config.update("jax_platforms", "cpu")
     # Persistent compile cache: the tunneled TPU's remote compiles are
     # slow; pay them once across bench runs.
     os.makedirs(".jax_cache", exist_ok=True)
@@ -208,6 +255,34 @@ def main():
 
     eps = avg_edges * iters / dt
     step_s = dt / iters
+
+    # Phase C: fully-overlapped pipeline on THIS host — fresh sampler with
+    # OCC_BENCH_WORKERS niced C++ workers feeding the step concurrently,
+    # cache tails applied per batch, wall-clocked end to end.
+    NPIPE = int(os.environ.get("OCC_BENCH_NPIPE", 12))
+    WORKERS = int(os.environ.get("OCC_BENCH_WORKERS", 2))
+    pipe_sampler = NativeSplitSampler(
+        g, g.train_nodes(), pmap, P, fanouts, batch_size,
+        capacities=caps, seed=3, cache=cache, num_workers=WORKERS,
+        drop_last=True,
+    )
+    it2 = iter(pipe_sampler)
+    b = next(it2)  # warm the pipeline (same compiled step)
+    params, opt_state, loss, _, _ = step(params, opt_state, b, cache.frames)
+    jax.block_until_ready(loss)
+    n_pipe = 0
+    t0 = time.perf_counter()
+    for b in it2:
+        params, opt_state, loss, _, _ = step(
+            params, opt_state, b, cache.frames
+        )
+        n_pipe += 1
+        if n_pipe >= NPIPE:
+            break
+    jax.block_until_ready(loss)
+    pipe_dt = time.perf_counter() - t0
+    pipe_sampler.close()
+    pipe_eps = avg_edges * n_pipe / pipe_dt
     if model_name == "sage":
         flops, bts = model_flops_bytes(
             caps, g.feature_dim, hidden, g.num_classes, x_bytes
@@ -226,8 +301,10 @@ def main():
             "model_gb_per_step": round(bts / 1e9, 3),
             "caps": {k: v for k, v in caps.items()},
         }))
-    print(json.dumps({
-        "metric": "split_pipeline_edges_per_s_per_chip",
+    host_ms = (host_stats["sample_s_per_batch"]
+               + host_stats["slice_s_per_batch"]) * 1e3
+    rec = {
+        "metric": "split_step_edges_per_s_per_chip",
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps / BASELINE_EDGES_PER_S_PER_GPU, 3),
@@ -240,9 +317,21 @@ def main():
         "hbm_roofline_pct": round(100 * hbm, 1) if hbm is not None else None,
         "cxx_sample_ms": round(host_stats["sample_s_per_batch"] * 1e3, 1),
         "cxx_slice_ms": round(host_stats["slice_s_per_batch"] * 1e3, 1),
-        "timed": "device step loop over pre-staged batches (host pipeline "
-                 "measured separately; overlap covered by exp5)",
-    }))
+        "pipelined_edges_per_s": round(pipe_eps, 1),
+        "pipelined_vs_baseline": round(
+            pipe_eps / BASELINE_EDGES_PER_S_PER_GPU, 3
+        ),
+        "pipelined_ms_per_batch": round(pipe_dt / max(n_pipe, 1) * 1e3, 1),
+        "pipeline_workers": WORKERS,
+        "workers_to_saturate": int(np.ceil(host_ms / (step_s * 1e3))),
+        "timed": "value: device step loop over pre-staged batches (chip "
+                 "capability, no shuffle at P=1); pipelined_*: overlapped "
+                 "end-to-end wall on this 2-core host (host-bound; "
+                 "workers_to_saturate = host ms/batch/worker / step ms)",
+    }
+    if model_name == "sage" and os.environ.get("OCC_BENCH_SHUFFLE", "1") != "0":
+        rec.update(shuffle_model(g, fanouts, batch_size, hidden, step_s))
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

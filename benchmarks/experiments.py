@@ -88,6 +88,13 @@ def exp1(args):
         "numpy_slice_s": round(t_slice, 4),
         "native_batch_s": round(t_native, 4),
         "speedup": round((t_sample + t_slice) / t_native, 2),
+        "note": "the speedup column compares against the CURRENT numpy "
+                "slicer and is config-dependent — records are not "
+                "comparable across configs or rounds (the early 20.35x "
+                "record predates the round-2 numpy vectorization that made "
+                "the baseline ~3x faster; at 200k/[10,10,25] both paths "
+                "improved and the ratio is now ~5x). Per-worker ns/edge "
+                "history lives in slicer_opt.jsonl.",
     })
     print("| phase | seconds/batch |")
     print("|---|---|")
@@ -367,20 +374,36 @@ def exp6(args):
               "--feature-dim", str(args.feature_dim),
               "--fan-out", args.fan_out,
               "--batch-size", str(args.batch_size),
-              "--num-hidden", "64", "--num-epochs", "3"]
+              "--num-hidden", str(args.num_hidden),
+              "--num-epochs", str(args.num_epochs),
+              "--dtype", args.dtype]
     if args.cpu:
         common.append("--cpu")
+    if args.limit_train:
+        common += ["--limit-train", str(args.limit_train)]
+    if args.feature_pad:
+        common += ["--feature-pad", str(args.feature_pad)]
     results = {}
-    for mode in ("split", "ddp", "pa-cache", "quiver"):
+    for mode in args.modes.split(","):
         argv = common + ["--mode", mode]
         if mode in ("split", "pa-cache"):
-            argv += ["--cache-per", "0.25"]
+            argv += ["--cache-per", str(args.cache_per)]
         if mode == "split":
             argv += ["--measure-caps"]
         t0 = time.perf_counter()
         m = trainer.main(argv)
         m["wall_s"] = round(time.perf_counter() - t0, 2)
         results[mode] = m
+    import jax
+
+    results["config"] = {
+        "platform": jax.devices()[0].platform,
+        "num_nodes": args.num_nodes, "avg_degree": args.avg_degree,
+        "feature_dim": args.feature_dim, "fan_out": args.fan_out,
+        "batch_size": args.batch_size, "hidden": args.num_hidden,
+        "epochs": args.num_epochs, "cache_per": args.cache_per,
+        "limit_train": args.limit_train, "dtype": args.dtype,
+    }
     # Context the raw walls need: on the virtual CPU mesh all 8 "chips"
     # share the host cores, so split's 8-partition shard_map step and its
     # host slicing COMPETE for the same CPUs that pa-cache's single-device
@@ -396,7 +419,7 @@ def exp6(args):
     print("| mode | final acc | wall s | phases (last epoch) |")
     print("|---|---|---|---|")
     for mode, m in results.items():
-        if not isinstance(m, dict):
+        if not isinstance(m, dict) or "acc" not in m:
             continue
         ph = " ".join(f"{k}={v}" for k, v in m.get("phases", {}).items())
         print(f"| {mode} | {m['acc']:.4f} | {m['wall_s']} | {ph} |")
@@ -412,6 +435,14 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--partitions", type=int, default=4)
     p.add_argument("--cpu", action="store_true")
+    # exp6 extras (TPU-scale runs): model sweep, epoch/limit control.
+    p.add_argument("--num-hidden", type=int, default=64)
+    p.add_argument("--num-epochs", type=int, default=3)
+    p.add_argument("--modes", type=str, default="split,ddp,pa-cache,quiver")
+    p.add_argument("--cache-per", type=float, default=0.25)
+    p.add_argument("--limit-train", type=int, default=0)
+    p.add_argument("--feature-pad", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="float32")
     args = p.parse_args(argv)
     if args.cpu:
         os.environ.setdefault(

@@ -14,7 +14,7 @@ RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
 def main():
     print("# Benchmark & experiment report\n")
     print("Generated from benchmarks/results/*.jsonl (latest record per "
-          "experiment).\n")
+          "experiment/model).\n")
     if not os.path.isdir(RESULTS_DIR):
         print("(no results recorded yet)")
         return
@@ -28,16 +28,18 @@ def main():
         # Latest record per (experiment, model) so e.g. the SAGE headline
         # and the GAT number in bench_tpu.jsonl both survive.
         latest: dict[tuple, dict] = {}
+        fallback = name.removesuffix(".jsonl")
         for rec in lines:
-            key = (rec.get("experiment", name), rec.get("model"))
+            key = (rec.get("experiment", fallback), rec.get("model"))
             latest[key] = rec
         for rec in latest.values():
-            title = rec.get("experiment", name)
+            title = rec.get("experiment", fallback)
             if rec.get("model"):
                 title += f" ({rec['model']})"
             print(f"## {title}\n")
             rec.pop("time", None)
             rec.pop("experiment", None)
+            rec.pop("model", None)
             if "rows" in rec:
                 rows = rec.pop("rows")
                 if rows:

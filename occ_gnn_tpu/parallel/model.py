@@ -13,6 +13,8 @@ one all_to_all over ICI.
 
 from __future__ import annotations
 
+import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -184,6 +186,22 @@ class SplitGAT:
                 # read/writes of the (m, s, v) carries and the K-fold
                 # redundant projection of gathered rows; the backward reads
                 # xg from residuals (sequential) instead of re-gathering.
+                # Trace-time HBM estimate for the [K, D, H_in] residual
+                # (xg f32 + z/pw [K, D, K_heads]): if it is large, point at
+                # the online fallback BEFORE XLA dies with a raw allocation
+                # error (ADVICE r2). Fires once per compile.
+                res_gb = (
+                    nbr.shape[0] * nbr.shape[1] * (x.shape[-1] + 2 * k) * 4
+                ) / 1e9
+                if res_gb > float(
+                    os.environ.get("OCC_GAT_RESID_WARN_GB", "4")
+                ):
+                    warnings.warn(
+                        f"batched GAT attention materializes ~{res_gb:.1f} GB "
+                        "of residuals; if this OOMs, set "
+                        "OCC_GAT_ATTENTION=online (flash-style streaming, "
+                        "O(D*H) residents)", stacklevel=2,
+                    )
                 xg = x[nbr].astype(jnp.float32)         # [K, D, H_in]
                 valid = (nbr != sentinel)[..., None]    # [K, D, 1]
                 z = jax.nn.leaky_relu(
