@@ -388,7 +388,9 @@ def exp6(args):
         argv = common + ["--mode", mode]
         if mode in ("split", "pa-cache"):
             argv += ["--cache-per", str(args.cache_per)]
-        if mode == "split":
+        if mode in ("split", "pa-cache", "ddp", "single"):
+            # every padded-sampler mode gets measured (not worst-case)
+            # budgets — identical capacity-tuning treatment
             argv += ["--measure-caps"]
         t0 = time.perf_counter()
         m = trainer.main(argv)
@@ -409,12 +411,25 @@ def exp6(args):
     # host slicing COMPETE for the same CPUs that pa-cache's single-device
     # path has to itself — wall-clock ranking here reflects host-core
     # contention, not the TPU pipeline (exp5 and bench.py measure that).
-    results["note"] = (
-        "CPU-mesh walls: 8 emulated devices share the host cores; "
-        "single-device modes (pa-cache) avoid the 8-way shard_map "
-        "emulation + slicing overhead. Device-step cost and overlap on "
-        "real chips are covered by bench.py and exp5."
-    )
+    if args.cpu:
+        results["note"] = (
+            "CPU-mesh walls: 8 emulated devices share the host cores; "
+            "single-device modes (pa-cache) avoid the 8-way shard_map "
+            "emulation + slicing overhead. Device-step cost and overlap on "
+            "real chips are covered by bench.py and exp5."
+        )
+    else:
+        results["note"] = (
+            "single-chip TPU run (P=1): split's multi-chip advantage "
+            "(redundancy removal across partitions) cannot appear at P=1 "
+            "— what this measures is the per-mode host pipeline + step "
+            "cost at identical target/fanout/batch settings; on this "
+            "harness every host->device batch transfer rides a ~0.09 GB/s "
+            "loopback relay (see bench_tpu h2d_gbps_measured), which "
+            "penalizes the modes that move features per batch (split "
+            "cache tails, ddp/pa-cache input frames) and flatters the "
+            "device-resident quiver mode"
+        )
     _record("exp6", results)
     print("| mode | final acc | wall s | phases (last epoch) |")
     print("|---|---|---|---|")

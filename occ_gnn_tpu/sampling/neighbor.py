@@ -55,6 +55,56 @@ def plan_capacities(
     return {"frame_caps": frame_caps, "edge_caps": edge_caps}
 
 
+def measure_capacities(
+    graph: Graph,
+    train_nodes: np.ndarray,
+    fanouts: list[int],
+    batch_size: int,
+    num_batches: int = 3,
+    margin: float = 1.6,
+    seed: int = 0,
+    replace: bool = True,
+) -> dict:
+    """Empirical padding budgets for the single-chip sampler — the analog
+    of slicer.measure_split_capacities: sample a few batches, record the
+    per-layer frame/edge maxima, return them with headroom (rounded up to
+    multiples of 128 for edges, 8 for frames).
+
+    Worst-case ``plan_capacities`` pads the deepest frame to
+    batch * prod(fanout+1); at products scale that is a ~1.6 GB input
+    frame whose H2D transfer dwarfs the real (deduplicated) frontier —
+    measured budgets keep the padded transfer proportional to actual work
+    (the baselines deserve the same capacity tuning the split path gets).
+    A tail batch above budget still raises the typed overflow error."""
+    rng = np.random.default_rng(seed)
+    nodes = np.asarray(train_nodes, dtype=np.int64)
+    L = len(fanouts)
+    max_frame = [0] * (L + 1)   # outermost-first while measuring
+    max_edge = [0] * L
+    for b in range(num_batches):
+        lo = b * batch_size
+        batch = nodes[lo : lo + batch_size]
+        if batch.size == 0:
+            break
+        frontier = np.unique(batch)
+        max_frame[0] = max(max_frame[0], frontier.shape[0])
+        for l, fanout in enumerate(fanouts):
+            e_dst, e_src_global = sample_layer_edges(
+                graph, frontier, fanout, rng, replace=replace
+            )
+            frontier, _, _ = dedup_first_occurrence(frontier, e_src_global)
+            max_edge[l] = max(max_edge[l], e_dst.shape[0])
+            max_frame[l + 1] = max(max_frame[l + 1], frontier.shape[0])
+
+    def up(v, m):
+        return int(-(-int(v * margin) // m) * m)
+
+    return {
+        "frame_caps": [up(v, 8) for v in reversed(max_frame)],
+        "edge_caps": [up(v, 128) for v in reversed(max_edge)],
+    }
+
+
 def sample_layer_edges(
     graph: Graph, frontier: np.ndarray, fanout: int,
     rng: np.random.Generator, replace: bool = True

@@ -554,7 +554,15 @@ def train_ddp(args, g, fanouts, timers):
 
     nodes = _train_nodes(args, g)
     per_dev = args.batch_size // P
-    caps = plan_capacities(per_dev, fanouts, g.num_nodes)
+    if args.measure_caps:
+        from occ_gnn_tpu.sampling.neighbor import measure_capacities
+
+        caps = measure_capacities(
+            g, nodes, fanouts, per_dev, seed=args.seed + 99,
+            replace=not args.sample_without_replacement,
+        )
+    else:
+        caps = plan_capacities(per_dev, fanouts, g.num_nodes)
     shards = np.array_split(np.random.default_rng(args.seed).permutation(nodes), P)
     samplers = [
         NeighborSampler(g, shards[p], fanouts, per_dev, capacities=caps,
@@ -655,8 +663,18 @@ def train_single(args, g, fanouts, timers, use_cache: bool):
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
     step = make_train_step(model, opt)
-    sampler = NeighborSampler(g, _train_nodes(args, g), fanouts,
-                              args.batch_size, seed=args.seed)
+    nodes = _train_nodes(args, g)
+    caps = None
+    if args.measure_caps:
+        from occ_gnn_tpu.sampling.neighbor import measure_capacities
+
+        with timers.phase("capacity_plan"):
+            caps = measure_capacities(
+                g, nodes, fanouts, args.batch_size, seed=args.seed + 99,
+                replace=not args.sample_without_replacement,
+            )
+    sampler = NeighborSampler(g, nodes, fanouts, args.batch_size,
+                              capacities=caps, seed=args.seed)
     cache = None
     if use_cache:
         pct = args.cache_per if args.cache_per > 0 else 0.25
