@@ -488,6 +488,19 @@ def measure_split_capacities(
     padding (choosing padding budgets is the 'hard part' called out in
     SURVEY.md §7); overflow at runtime still raises cleanly, and re-running
     with a larger margin is cheap.
+
+    RNG-stream caveat: this probe uses the numpy ``SplitSampler``, whose
+    stream differs from the C++ service's per-worker XorShift streams, so
+    the production maxima are drawn from different batches than the probe
+    maxima.  The ``margin`` exists to absorb exactly that sampling noise:
+    per-field maxima concentrate tightly over same-distribution batches
+    (they are maxima of sums of ~batch_size*fanout independent draws), so
+    the default 1.35x headroom covers the cross-stream gap with a wide
+    buffer — ``tests/test_native_sampler.py::
+    test_probe_caps_cover_native_stream`` measures the gap directly and
+    asserts the native service's observed maxima stay under these budgets.
+    If a pathological graph ever defeats the margin, the overflow error is
+    typed and the trainer auto-replans at 1.5x (train.py).
     """
     safe = plan_split_capacities(batch_size, fanouts, graph.num_nodes,
                                  num_partitions)

@@ -183,3 +183,59 @@ def test_native_error_preserves_delivery_order(dense_graph):
             np.sort(t[t >= 0]), np.sort(np.unique(sub))
         )
     nat.close()
+
+
+def test_probe_caps_cover_native_stream():
+    """The numpy probe and the C++ service sample from DIFFERENT RNG
+    streams (r2 weak item): prove the probe's margined budgets cover the
+    native service's observed maxima over a full epoch of real sampling
+    (fanout < max degree, so every batch is genuinely random), and record
+    how much of the margin the cross-stream gap actually consumes."""
+    from occ_gnn_tpu.sampling.slicer import measure_split_capacities
+
+    g = random_graph(num_nodes=3000, avg_degree=14, feature_dim=8,
+                     num_classes=4, seed=11, power_law=2.0)
+    pmap = partition_graph(g, P, mode="greedy")
+    fanouts = [4, 4]
+    caps = measure_split_capacities(g, g.train_nodes(), pmap, P, fanouts,
+                                    64, num_batches=3, margin=1.35, seed=1)
+    nat = NativeSplitSampler(g, g.train_nodes(), pmap, P, fanouts, 64,
+                             capacities=caps, seed=77, num_workers=2)
+    L = len(fanouts)
+    obs_edges = [0] * L
+    obs_owned = [0] * L
+    obs_shuffle = [0] * L
+    obs_frame0 = 0
+    n = 0
+    for batch in nat:  # raises on any capacity overflow
+        n += 1
+        for l, lyr in enumerate(batch.layers):
+            ed = np.asarray(lyr.edge_dst)
+            valid = ed < lyr.dst_cap
+            obs_edges[l] = max(obs_edges[l], int(valid.sum(axis=1).max()))
+            obs_owned[l] = max(
+                obs_owned[l], int(np.asarray(lyr.num_owned).max())
+            )
+            push = np.asarray(lyr.push_idx)
+            obs_shuffle[l] = max(
+                obs_shuffle[l], int((push >= 0).sum(axis=2).max())
+            )
+        obs_frame0 = max(
+            obs_frame0,
+            int((np.asarray(batch.input_nodes) >= 0).sum(axis=1).max()),
+        )
+    nat.close()
+    assert n >= 8  # a real epoch, not a couple of batches
+    for l in range(L):
+        assert obs_edges[l] <= caps["edge_caps"][l]
+        assert obs_owned[l] <= caps["out_caps"][l]
+        assert obs_shuffle[l] <= caps["shuffle_caps"][l]
+    assert obs_frame0 <= caps["frame_caps"][0]
+    # The gap the margin must absorb: native maxima over probe budgets.
+    # Per-field maxima concentrate (sums of many independent draws), so
+    # the native stream should consume well under the full 1.35x margin.
+    worst = max(
+        [obs_edges[l] / caps["edge_caps"][l] for l in range(L)]
+        + [obs_frame0 / caps["frame_caps"][0]]
+    )
+    assert worst <= 1.0
