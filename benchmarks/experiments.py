@@ -440,9 +440,167 @@ def exp6(args):
         print(f"| {mode} | {m['acc']:.4f} | {m['wall_s']} | {ph} |")
 
 
+def exp7(args):
+    """Redundancy, measured (the flagship thesis quantified): for the SAME
+    stream of global batches, compare what P independent data-parallel
+    chips each do (per-chip sampling + a replicated top-degree cache — the
+    execution model of DDP / PaGraph / Quiver,
+    /root/reference/python/pa_cache_multi_gpu.py:43-90) against ONE
+    split-parallel slicing of the batch across P partitions
+    (/root/reference/python/layers/dist_sageconv.py). The reference's exp4
+    ESTIMATED this redundancy analytically from the partition map; here it
+    is MEASURED from real sampled subgraphs, per batch:
+
+      ddp:   chip c samples its own L-hop subgraph for B/P targets. A node
+             reached by several chips' frontiers is re-gathered, and its
+             aggregation + hidden rep re-computed, on EVERY chip that
+             touches it; per-chip caches replicate the same hot rows.
+      split: the batch is sampled once and partitioned — every frontier
+             node's aggregation and hidden rep is computed on exactly one
+             owner, and the P per-chip cache budgets hold DISTINCT rows.
+             The price, also measured here: boundary partial-sum rows
+             shuffled over ICI (one all_to_all per layer) + cache-miss
+             refresh tails.
+
+    Features are never read (graph is built with a tiny feature_dim);
+    byte figures use the nominal --feature-dim at bf16 (the production
+    cache dtype) and hidden-H f32 for shuffle partials.
+    """
+    from occ_gnn_tpu.cache import CachePlan
+    from occ_gnn_tpu.data import partition_graph, random_graph
+    from occ_gnn_tpu.sampling.neighbor import (
+        dedup_first_occurrence,
+        sample_layer_edges,
+    )
+
+    nominal_fdim = args.feature_dim
+    g = random_graph(num_nodes=args.num_nodes, avg_degree=args.avg_degree,
+                     feature_dim=min(args.feature_dim, 4), num_classes=32,
+                     seed=0)
+    fanouts = [int(f) for f in args.fan_out.split(",")]
+    B = args.batch_size
+    nb = args.num_batches
+    H = args.num_hidden
+    targets = g.train_nodes()[: B * nb]
+
+    def sample_subgraph(seeds, rng):
+        """Raw L-hop sample (exact SplitSampler/NeighborSampler semantics):
+        returns (frontiers outermost-first incl targets, edge lists of
+        (dst_global, src_global) per layer, deepest frame)."""
+        frontier = np.unique(np.asarray(seeds, dtype=np.int64))
+        frontiers, edges = [frontier], []
+        for fanout in fanouts:
+            e_dst, e_src = sample_layer_edges(g, frontier, fanout, rng)
+            edges.append((frontier[e_dst], e_src))
+            frontier, _, _ = dedup_first_occurrence(frontier, e_src)
+            frontiers.append(frontier)
+        return frontiers, edges
+
+    rows = []
+    for P in (2, 4, 8):
+        pmap = partition_graph(g, P, mode="greedy", attach=False)
+        plan = CachePlan(g, pmap, P, args.cache_per, refresh_cap=1)
+        # Replicated per-chip cache, same per-chip budget: global
+        # top-out-degree rows (PaGraph policy).
+        order = np.argsort(-g.out_degrees(), kind="stable")
+        ddp_cached = np.zeros(g.num_nodes, dtype=bool)
+        ddp_cached[order[: plan.static_size]] = True
+        split_cached = plan.owner_local >= 0  # partitioned: P*budget rows
+
+        acc = {k: 0 for k in ("ddp_edges", "split_edges", "ddp_hidden",
+                              "split_hidden", "ddp_feat", "split_feat",
+                              "union_feat", "ddp_miss", "split_miss",
+                              "shuffle_rows")}
+        for b in range(nb):
+            batch = targets[b * B : (b + 1) * B]
+            # --- DDP: P chips, B/P targets each, independent samples.
+            chip_frames = []
+            for c in range(P):
+                rng = np.random.default_rng(10_000 * P + 100 * b + c)
+                frontiers, edges = sample_subgraph(
+                    batch[c * (B // P) : (c + 1) * (B // P)], rng
+                )
+                acc["ddp_edges"] += sum(e[0].shape[0] for e in edges)
+                acc["ddp_hidden"] += sum(f.shape[0] for f in frontiers[:-1])
+                frame = frontiers[-1]
+                chip_frames.append(frame)
+                acc["ddp_feat"] += frame.shape[0]
+                acc["ddp_miss"] += int((~ddp_cached[frame]).sum())
+            acc["union_feat"] += np.unique(
+                np.concatenate(chip_frames)
+            ).shape[0]
+            # --- Split: one sample of the whole batch, partitioned.
+            rng = np.random.default_rng(20_000 * P + 100 * b)
+            frontiers, edges = sample_subgraph(batch, rng)
+            acc["split_edges"] += sum(e[0].shape[0] for e in edges)
+            acc["split_hidden"] += sum(f.shape[0] for f in frontiers[:-1])
+            frame = frontiers[-1]
+            acc["split_feat"] += frame.shape[0]
+            acc["split_miss"] += int((~split_cached[frame]).sum())
+            # Boundary partials: one row per (dst node, contributing
+            # foreign partition) pair, per layer (natural-edge routing:
+            # edges live on the src's owner).
+            for dst_g, src_g in edges:
+                po = pmap[src_g].astype(np.int64)
+                foreign = po != pmap[dst_g]
+                acc["shuffle_rows"] += np.unique(
+                    dst_g[foreign] * P + po[foreign]
+                ).shape[0]
+
+        r = {
+            "P": P,
+            "edges_ratio": round(acc["ddp_edges"] / acc["split_edges"], 3),
+            "hidden_rows_ratio": round(
+                acc["ddp_hidden"] / acc["split_hidden"], 3),
+            "feature_rows_ratio": round(
+                acc["ddp_feat"] / acc["split_feat"], 3),
+            "frontier_dup_factor": round(
+                acc["ddp_feat"] / acc["union_feat"], 3),
+            "miss_rows_ratio": round(
+                acc["ddp_miss"] / max(acc["split_miss"], 1), 3),
+            "ddp_miss_mb_per_batch": round(
+                acc["ddp_miss"] * nominal_fdim * 2 / nb / 2**20, 2),
+            "split_refresh_mb_per_batch": round(
+                acc["split_miss"] * nominal_fdim * 2 / nb / 2**20, 2),
+            "split_shuffle_mb_per_batch": round(
+                acc["shuffle_rows"] * H * 4 / nb / 2**20, 2),
+            "counts_per_batch": {
+                k: acc[k] // nb for k in sorted(acc)
+            },
+        }
+        rows.append(r)
+
+    _record("exp7", {
+        "graph": f"random-{g.num_nodes}n-{g.num_edges}e",
+        "fan_out": args.fan_out, "batch_size": B, "num_batches": nb,
+        "cache_per_chip": args.cache_per, "feature_dim": nominal_fdim,
+        "hidden": H, "rows": rows,
+        "note": (
+            "measured from real sampled subgraphs (identical sampling "
+            "semantics both modes): ddp_* sums over P independent chips "
+            "processing the same global batch; split_* is one partitioned "
+            "slicing of it. miss rows use equal PER-CHIP cache budgets "
+            "(replicated top-degree vs owner-partitioned). The synthetic "
+            "graph has power-law-ish source popularity (synthetic.py "
+            "power_law=0.8); real graphs with heavier hub skew duplicate "
+            "hub nodes across more chips, pushing the ratios higher."
+        ),
+    })
+    print("| P | edges x | hidden x | feat-rows x | dup factor | "
+          "miss x | ddp miss MB/b | split refresh MB/b | shuffle MB/b |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['P']} | {r['edges_ratio']} | {r['hidden_rows_ratio']} "
+              f"| {r['feature_rows_ratio']} | {r['frontier_dup_factor']} "
+              f"| {r['miss_rows_ratio']} | {r['ddp_miss_mb_per_batch']} "
+              f"| {r['split_refresh_mb_per_batch']} "
+              f"| {r['split_shuffle_mb_per_batch']} |")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("experiments")
-    p.add_argument("exp", choices=["exp1", "exp2", "exp3", "exp4", "exp5", "exp6"])
+    p.add_argument("exp", choices=["exp1", "exp2", "exp3", "exp4", "exp5",
+                                   "exp6", "exp7"])
     p.add_argument("--num-nodes", type=int, default=20000)
     p.add_argument("--avg-degree", type=int, default=10)
     p.add_argument("--feature-dim", type=int, default=64)
@@ -456,6 +614,7 @@ def main(argv=None):
     p.add_argument("--modes", type=str, default="split,ddp,pa-cache,quiver")
     p.add_argument("--cache-per", type=float, default=0.25)
     p.add_argument("--limit-train", type=int, default=0)
+    p.add_argument("--num-batches", type=int, default=4)
     p.add_argument("--feature-pad", type=int, default=0)
     p.add_argument("--dtype", type=str, default="float32")
     args = p.parse_args(argv)
