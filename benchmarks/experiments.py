@@ -476,7 +476,7 @@ def exp7(args):
     nominal_fdim = args.feature_dim
     g = random_graph(num_nodes=args.num_nodes, avg_degree=args.avg_degree,
                      feature_dim=min(args.feature_dim, 4), num_classes=32,
-                     seed=0)
+                     seed=0, power_law=args.power_law)
     fanouts = [int(f) for f in args.fan_out.split(",")]
     B = args.batch_size
     nb = args.num_batches
@@ -572,6 +572,7 @@ def exp7(args):
 
     _record("exp7", {
         "graph": f"random-{g.num_nodes}n-{g.num_edges}e",
+        "power_law": args.power_law,
         "fan_out": args.fan_out, "batch_size": B, "num_batches": nb,
         "cache_per_chip": args.cache_per, "feature_dim": nominal_fdim,
         "hidden": H, "rows": rows,
@@ -615,6 +616,9 @@ def main(argv=None):
     p.add_argument("--cache-per", type=float, default=0.25)
     p.add_argument("--limit-train", type=int, default=0)
     p.add_argument("--num-batches", type=int, default=4)
+    # exp7: source-popularity skew of the synthetic graph (synthetic.py
+    # random_graph power_law; smaller = heavier hub tail).
+    p.add_argument("--power-law", type=float, default=0.8)
     p.add_argument("--feature-pad", type=int, default=0)
     p.add_argument("--dtype", type=str, default="float32")
     args = p.parse_args(argv)

@@ -191,7 +191,8 @@ class SplitGAT:
                 # the online fallback BEFORE XLA dies with a raw allocation
                 # error (ADVICE r2). Fires once per compile.
                 res_gb = (
-                    nbr.shape[0] * nbr.shape[1] * (x.shape[-1] + 2 * k) * 4
+                    nbr.shape[0] * nbr.shape[1]
+                    * (x.shape[-1] * x.dtype.itemsize + 2 * k * 4)
                 ) / 1e9
                 if res_gb > float(
                     os.environ.get("OCC_GAT_RESID_WARN_GB", "4")
@@ -202,10 +203,20 @@ class SplitGAT:
                         "OCC_GAT_ATTENTION=online (flash-style streaming, "
                         "O(D*H) residents)", stacklevel=2,
                     )
-                xg = x[nbr].astype(jnp.float32)         # [K, D, H_in]
+                # Keep the gathered leaves in the STORAGE dtype (bf16 under
+                # mixed precision): the [K, D, H_in] residual is the
+                # layer's dominant HBM stream (written once, read by the
+                # two einsums and again by the backward) — at products
+                # scale upcasting it to f32 costs ~2x the streamed bytes
+                # for no MXU benefit (dots accumulate in f32 via
+                # preferred_element_type either way). f32 inputs are
+                # bit-unchanged by this path.
+                xg = x[nbr]                             # [K, D, H_in]
                 valid = (nbr != sentinel)[..., None]    # [K, D, 1]
                 z = jax.nn.leaky_relu(
-                    xg @ wl + er_frame[None], self.negative_slope
+                    jnp.einsum("kdh,hc->kdc", xg, wl.astype(x.dtype),
+                               preferred_element_type=jnp.float32)
+                    + er_frame[None], self.negative_slope
                 )                                       # [K, D, K_heads]
                 z = jnp.where(valid, z, -jnp.inf)
                 m_loc = jnp.max(z, axis=0)              # [D, K_heads]
@@ -214,7 +225,10 @@ class SplitGAT:
                 s_loc = jnp.sum(pw, axis=0)             # [D, K_heads]
                 # Leaf-space weighted partial sums per head, then project:
                 # v_loc[d, c, :] = (sum_k pw[k,d,c] * xg[k,d,:]) @ w3[:,c,:].
-                agg = jnp.einsum("kdc,kdh->dch", pw, xg)  # [D, K_heads, H]
+                # pw joins the dot in the storage dtype (bf16 softmax
+                # weights under mixed precision; f32 accumulation).
+                agg = jnp.einsum("kdc,kdh->dch", pw.astype(x.dtype), xg,
+                                 preferred_element_type=jnp.float32)
                 v_loc = jnp.einsum("dch,hco->dco", agg, w3)
             else:
                 m_loc, s_loc, v_loc = self._attention_online(
