@@ -88,3 +88,36 @@ def set_gat_attention_impl(value: str) -> None:
             f"gat_attention impl must be one of {_GAT_ATTENTION_CHOICES}"
         )
     _gat_attention = value
+
+
+_gat_agg: str | None = None
+_GAT_AGG_CHOICES = ("fma", "einsum")
+
+
+def gat_agg_impl() -> str:
+    """Lowering of the batched GAT weighted partial sum
+    agg[d,c,:] = sum_k pw[k,d,c] * xg[k,d,:]: 'fma' (unrolled K-loop of
+    broadcast multiply-adds — fuses with the leaf gather on the VPU, the
+    same shape of lowering as the SAGE dense aggregation) or 'einsum'
+    (dot_general with batch dim D and a K-length contraction — tiny
+    per-d dots that pad the MXU's 128-lane tiles; the ablation measured
+    the einsum at 17.2 ms over a plain-sum floor in the products-scale
+    GAT forward, benchmarks/results/gat_phases.jsonl).
+
+    Read at TRACE time, same semantics as ``dense_agg_impl``."""
+    global _gat_agg
+    if _gat_agg is None:
+        v = os.environ.get("OCC_GAT_AGG", "fma")
+        if v not in _GAT_AGG_CHOICES:
+            raise ValueError(
+                f"OCC_GAT_AGG={v!r} is not one of {_GAT_AGG_CHOICES}"
+            )
+        _gat_agg = v
+    return _gat_agg
+
+
+def set_gat_agg_impl(value: str) -> None:
+    global _gat_agg
+    if value not in _GAT_AGG_CHOICES:
+        raise ValueError(f"gat_agg impl must be one of {_GAT_AGG_CHOICES}")
+    _gat_agg = value

@@ -225,10 +225,28 @@ class SplitGAT:
                 s_loc = jnp.sum(pw, axis=0)             # [D, K_heads]
                 # Leaf-space weighted partial sums per head, then project:
                 # v_loc[d, c, :] = (sum_k pw[k,d,c] * xg[k,d,:]) @ w3[:,c,:].
-                # pw joins the dot in the storage dtype (bf16 softmax
-                # weights under mixed precision; f32 accumulation).
-                agg = jnp.einsum("kdc,kdh->dch", pw.astype(x.dtype), xg,
-                                 preferred_element_type=jnp.float32)
+                from occ_gnn_tpu.ops.config import gat_agg_impl
+
+                if gat_agg_impl() == "fma":
+                    # Unrolled K-loop of broadcast FMAs (the SAGE dense-
+                    # aggregation lowering with a heads axis): fuses with
+                    # the leaf reads on the VPU instead of lowering to
+                    # per-d [heads, K]x[K, H] dots that pad the MXU's
+                    # 128-lane tiles (ablation: the einsum form costs
+                    # 17.2 ms of the products GAT forward over a plain-sum
+                    # floor, benchmarks/results/gat_phases.jsonl).
+                    agg = pw[0][..., None] * xg[0][:, None, :].astype(
+                        jnp.float32
+                    )
+                    for kk in range(1, nbr.shape[0]):
+                        agg = agg + pw[kk][..., None] * xg[kk][
+                            :, None, :
+                        ].astype(jnp.float32)
+                else:
+                    # pw joins the dot in the storage dtype (bf16 softmax
+                    # weights under mixed precision; f32 accumulation).
+                    agg = jnp.einsum("kdc,kdh->dch", pw.astype(x.dtype),
+                                     xg, preferred_element_type=jnp.float32)
                 v_loc = jnp.einsum("dch,hco->dco", agg, w3)
             else:
                 m_loc, s_loc, v_loc = self._attention_online(
