@@ -26,34 +26,55 @@ def stack_batches(batches: list[SampledBatch]) -> SampledBatch:
 
 
 def make_dp_train_step(model, optimizer: optax.GradientTransformation, mesh):
-    def loss_body(params, blocks, labels, x0):
-        local = SampledBatch(
-            blocks=[_unstack(b) for b in blocks],
-            input_nodes=None,
-            labels=labels[0],
-        )
-        logits = model.apply(params, local, x0[0])
-        nll, cnt, correct = _local_ce(logits, local.labels)
-        nll = jax.lax.psum(nll, "p")
-        cnt = jax.lax.psum(cnt, "p")
-        correct = jax.lax.psum(correct, "p")
-        return nll / jnp.maximum(cnt, 1), (correct, cnt)
+    def make_loss_body(with_rng: bool):
+        def loss_body(params, blocks, labels, x0, rng=None):
+            local = SampledBatch(
+                blocks=[_unstack(b) for b in blocks],
+                input_nodes=None,
+                labels=labels[0],
+            )
+            if with_rng:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("p"))
+                logits = model.apply(params, local, x0[0], train=True,
+                                     rng=rng)
+            else:
+                logits = model.apply(params, local, x0[0])
+            nll, cnt, correct = _local_ce(logits, local.labels)
+            nll = jax.lax.psum(nll, "p")
+            cnt = jax.lax.psum(cnt, "p")
+            correct = jax.lax.psum(correct, "p")
+            return nll / jnp.maximum(cnt, 1), (correct, cnt)
+
+        return loss_body
 
     mapped = jax.shard_map(
-        loss_body,
+        make_loss_body(False),
         mesh=mesh,
         in_specs=(P(), P("p"), P("p"), P("p")),
         out_specs=(P(), (P(), P())),
         check_vma=False,
     )
+    mapped_rng = jax.shard_map(
+        make_loss_body(True),
+        mesh=mesh,
+        in_specs=(P(), P("p"), P("p"), P("p"), P()),
+        out_specs=(P(), (P(), P())),
+        check_vma=False,
+    )
 
     @jax.jit
-    def step(params, opt_state, stacked: SampledBatch, x0):
+    def step(params, opt_state, stacked: SampledBatch, x0, rng=None):
+        from occ_gnn_tpu.parallel.model import _check_dropout_rng
+
+        _check_dropout_rng(model, rng)
+        if rng is None:
+            fn = lambda prm: mapped(prm, stacked.blocks, stacked.labels, x0)
+        else:
+            fn = lambda prm: mapped_rng(
+                prm, stacked.blocks, stacked.labels, x0, rng
+            )
         (loss, (correct, cnt)), grads = jax.value_and_grad(
-            lambda prm: mapped(
-                prm, stacked.blocks, stacked.labels, x0
-            ),
-            has_aux=True,
+            fn, has_aux=True
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -426,6 +426,11 @@ def train_split(args, g, fanouts, timers):
         profiling = True
     from occ_gnn_tpu.sampling.slicer import scale_capacities
 
+    # Dropout stream: one base key, folded with the global step counter so
+    # every step (and every resume) draws a fresh mask.
+    drop_key = (jax.random.PRNGKey(args.seed ^ 0x5EED)
+                if args.dropout > 0 else None)
+    gstep = 0
     epoch = start_epoch
     replans = 0
     while epoch < args.num_epochs:
@@ -452,8 +457,11 @@ def train_split(args, g, fanouts, timers):
                     total += int(t)
                 with timers.phase("train_step"):
                     params, opt_state, loss, c, t = step(
-                        params, opt_state, batch, xs
+                        params, opt_state, batch, xs,
+                        rng=(jax.random.fold_in(drop_key, gstep)
+                             if drop_key is not None else None),
                     )
+                gstep += 1
                 pending = (loss, c, t)
             if pending is not None:
                 loss, c, t = pending
@@ -570,6 +578,9 @@ def train_ddp(args, g, fanouts, timers):
         for p in range(P)
     ]
     acc = loss_v = 0.0
+    drop_key = (jax.random.PRNGKey(args.seed ^ 0x5EED)
+                if args.dropout > 0 else None)
+    gstep = 0
     for epoch in range(args.num_epochs):
         t0 = time.perf_counter()
         correct = total = 0
@@ -586,8 +597,11 @@ def train_ddp(args, g, fanouts, timers):
                 ])
             with timers.phase("train_step"):
                 params, opt_state, loss, c, t = step(
-                    params, opt_state, stacked, x0
+                    params, opt_state, stacked, x0,
+                    rng=(jax.random.fold_in(drop_key, gstep)
+                         if drop_key is not None else None),
                 )
+                gstep += 1
                 loss = jax.block_until_ready(loss)
             correct += int(c)
             total += int(t)
