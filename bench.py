@@ -125,6 +125,10 @@ def shuffle_model(g, fanouts, batch_size, hidden, step_s):
         "ici_model_ms": round(ici_s * 1e3, 2),
         "ici_model_pct_of_step": round(100 * ici_s / step_s, 1),
         "ici_bw_assumed_gbps": round(ici_bw / 1e9, 1),
+        "ici_note": "MODELED UPPER BOUND: bytes measured at P=8 "
+                    "worst-case-cut capacities, time assumed at the "
+                    "configured ICI bandwidth — no multi-chip hardware on "
+                    "this harness to measure all_to_all wall time",
     }
 
 

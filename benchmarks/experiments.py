@@ -462,6 +462,13 @@ def exp7(args):
              shuffled over ICI (one all_to_all per layer) + cache-miss
              refresh tails.
 
+    Relation to the reference's exp4 (experiments/exp4/populate_table.py):
+    that script also counts redundancy/communication from real sampled
+    NodeFlows. What this experiment adds is a same-global-batch
+    comparison (both modes consume the identical target stream),
+    cache-miss BYTE accounting against each mode's actual cache policy,
+    and dedup of shuffle rows — not a measured-vs-estimated contrast.
+
     Features are never read (graph is built with a tiny feature_dim);
     byte figures use the nominal --feature-dim at bf16 (the production
     cache dtype) and hidden-H f32 for shuffle partials.
@@ -498,6 +505,14 @@ def exp7(args):
 
     rows = []
     for P in (2, 4, 8):
+        if B % P != 0:
+            # ddp slices batch[c*(B//P):(c+1)*(B//P)] per chip — a remainder
+            # would silently drop targets from ddp but not split, breaking
+            # the same-global-batch premise (ADVICE r3).
+            raise SystemExit(
+                f"exp7 requires --batch-size divisible by P={P} "
+                f"(got {B}); both modes must see the same targets"
+            )
         pmap = partition_graph(g, P, mode="greedy", attach=False)
         plan = CachePlan(g, pmap, P, args.cache_per, refresh_cap=1)
         # Replicated per-chip cache, same per-chip budget: global

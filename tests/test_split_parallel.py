@@ -536,3 +536,28 @@ def test_split_dropout_single_device_path():
     _, _, lb, _, _ = step(params, opt_state, batch, xs,
                           rng=jax.random.PRNGKey(2))
     assert float(la) != float(lb)
+
+
+def test_split_gat_fma_matches_einsum(sliced):
+    """The two lowerings of the batched-GAT weighted partial sum
+    (OCC_GAT_AGG fma / einsum) agree — keeps the non-default branch
+    covered (ADVICE r3: neither was exercised by any test)."""
+    from occ_gnn_tpu.ops import config as ops_config
+    from occ_gnn_tpu.parallel.model import SplitGAT
+
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    mesh = make_mesh(P)
+    model = SplitGAT(g.feature_dim, 6, g.num_classes, 2, num_heads=2)
+    params = model.init(jax.random.PRNGKey(13))
+    xs = _gather_split_features(g, split_batch)
+    old = ops_config.gat_agg_impl()
+    try:
+        ops_config.set_gat_agg_impl("fma")
+        logits_f = np.asarray(make_split_forward(model, mesh)(
+            params, split_batch, xs))
+        ops_config.set_gat_agg_impl("einsum")
+        logits_e = np.asarray(make_split_forward(model, mesh)(
+            params, split_batch, xs))
+    finally:
+        ops_config.set_gat_agg_impl(old)
+    np.testing.assert_allclose(logits_f, logits_e, rtol=1e-4, atol=1e-4)
