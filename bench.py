@@ -155,7 +155,7 @@ def main():
         SplitSAGE,
         make_split_train_step,
     )
-    from occ_gnn_tpu.parallel.split import make_mesh
+    from occ_gnn_tpu.parallel.split import count_layer_edges, make_mesh
     from occ_gnn_tpu.sampling.native import NativeSplitSampler
     from occ_gnn_tpu.sampling.slicer import (
         measure_split_capacities,
@@ -235,8 +235,7 @@ def main():
         batch = next(it)
         staged.append((batch, cache.frames))
         edges_per_batch.append(sum(
-            int((np.asarray(l.edge_dst) < l.dst_cap).sum())
-            for l in batch.layers
+            count_layer_edges(l) for l in batch.layers
         ))
     stage_dt = (time.perf_counter() - t0) / NSTAGE
     avg_edges = float(np.mean(edges_per_batch))
@@ -279,14 +278,24 @@ def main():
         assert int(jnp.asarray(probe_mb)[-1]) == i + 1
     h2d_gbps = probe_mb.nbytes * h2d_reps / (time.perf_counter() - t0) / 1e9
     arena_bytes = getattr(sampler, "_arena_words", 0) * 4
-    tail_bytes = (P * cache.plan.refresh_cap * g.feature_dim * x_bytes
+    # MEASURED per-batch tail transfer (bucketed, true-feature-width rows
+    # — see SplitFeatureCache.apply_tail); the r3 bench shipped the full
+    # padded refresh_cap x padded-H tail every batch (241 MB of the 293).
+    tail_bytes = (cache.tail_bytes_total / max(cache.tail_batches, 1)
                   if cache.plan.needs_refresh else 0)
 
+    host_ms_per_worker = (host_stats["sample_s_per_batch"]
+                          + host_stats["slice_s_per_batch"]) * 1e3
+    workers_to_saturate = int(np.ceil(host_ms_per_worker / (step_s * 1e3)))
+
     # Phase C: fully-overlapped pipeline on THIS host — fresh sampler with
-    # OCC_BENCH_WORKERS niced C++ workers feeding the step concurrently,
-    # cache tails applied per batch, wall-clocked end to end.
+    # niced C++ workers feeding the step concurrently, cache tails applied
+    # per batch, wall-clocked end to end. Worker count defaults to the
+    # measured saturation requirement (VERDICT r3 item 2), capped at 16.
     NPIPE = int(os.environ.get("OCC_BENCH_NPIPE", 12))
-    WORKERS = int(os.environ.get("OCC_BENCH_WORKERS", 2))
+    WORKERS = int(os.environ.get("OCC_BENCH_WORKERS", 0)) or min(
+        workers_to_saturate, 16
+    )
     pipe_sampler = NativeSplitSampler(
         g, g.train_nodes(), pmap, P, fanouts, batch_size,
         capacities=caps, seed=3, cache=cache, num_workers=WORKERS,
@@ -309,6 +318,46 @@ def main():
     pipe_dt = time.perf_counter() - t0
     pipe_sampler.close()
     pipe_eps = avg_edges * n_pipe / pipe_dt
+
+    # Phase D: host PRODUCTION rate, relay-free (VERDICT r3 item 2 asks
+    # for proof the host can feed the device; on this 2-core harness the
+    # relay-bound device consumption in Phase C hides the host's actual
+    # rate). A fresh sampler with the same worker count drains batches
+    # with NO device interaction; a host-only cache stand-in performs the
+    # per-batch tail feature gather+cast (the host half of apply_tail) so
+    # the rate includes all host work a production pipeline does.
+    class _HostTailOnly:
+        def __init__(self, plan, np_dtype):
+            self.plan = plan
+            self._dt = np_dtype
+
+        def apply_tail(self, refresh_nodes):
+            gg = self.plan.graph
+            ht = gg.true_feature_dim or gg.feature_dim
+            for p in range(self.plan.P):
+                rows = refresh_nodes[p]
+                k = int((rows >= 0).sum())
+                if k:
+                    gg.features[rows[:k], :ht].astype(self._dt)
+
+    NPROD = int(os.environ.get("OCC_BENCH_NPROD", 8))
+    prod_sampler = NativeSplitSampler(
+        g, g.train_nodes(), pmap, P, fanouts, batch_size,
+        capacities=caps, seed=5,
+        cache=_HostTailOnly(cache.plan, np.dtype(dtype)),
+        num_workers=WORKERS, drop_last=True,
+    )
+    it3 = iter(prod_sampler)
+    next(it3)  # warm the worker pool
+    n_prod = 0
+    t0 = time.perf_counter()
+    for _ in it3:
+        n_prod += 1
+        if n_prod >= NPROD:
+            break
+    prod_dt = time.perf_counter() - t0
+    prod_sampler.close()
+    prod_ms = prod_dt / max(n_prod, 1) * 1e3
     if model_name == "sage":
         flops, bts = model_flops_bytes(
             caps, g.feature_dim, hidden, g.num_classes, x_bytes
@@ -327,8 +376,6 @@ def main():
             "model_gb_per_step": round(bts / 1e9, 3),
             "caps": {k: v for k, v in caps.items()},
         }))
-    host_ms = (host_stats["sample_s_per_batch"]
-               + host_stats["slice_s_per_batch"]) * 1e3
     rec = {
         "metric": "split_step_edges_per_s_per_chip",
         "value": round(eps, 1),
@@ -349,8 +396,14 @@ def main():
         ),
         "pipelined_ms_per_batch": round(pipe_dt / max(n_pipe, 1) * 1e3, 1),
         "pipeline_workers": WORKERS,
-        "workers_to_saturate": int(np.ceil(host_ms / (step_s * 1e3))),
+        "workers_to_saturate": workers_to_saturate,
+        "host_production_ms_per_batch": round(prod_ms, 1),
+        "host_production_batches": n_prod,
+        "host_cores": os.cpu_count(),
+        "host_feeds_device": bool(prod_ms <= step_s * 1e3),
         "h2d_bytes_per_batch": int(arena_bytes + tail_bytes),
+        "h2d_arena_bytes": int(arena_bytes),
+        "h2d_tail_bytes_avg": int(tail_bytes),
         "h2d_gbps_measured": round(h2d_gbps, 3),
         "h2d_floor_ms_per_batch": round(
             (arena_bytes + tail_bytes) / max(h2d_gbps, 1e-9) / 1e6, 1
@@ -361,7 +414,10 @@ def main():
                  "a loopback relay — h2d_floor_ms shows the relay "
                  "bandwidth bound on the per-batch transfer (a production "
                  "host's PCIe moves the same bytes in a few ms); "
-                 "workers_to_saturate = host ms/batch/worker / step ms",
+                 "workers_to_saturate = host ms/batch/worker / step ms; "
+                 "host_production_ms_per_batch = relay-free drain rate "
+                 "with pipeline_workers niced workers on host_cores cores "
+                 "incl. the per-batch tail feature gather+cast",
     }
     if model_name == "sage" and os.environ.get("OCC_BENCH_SHUFFLE", "1") != "0":
         rec.update(shuffle_model(g, fanouts, batch_size, hidden, step_s))

@@ -149,8 +149,8 @@ def exp2(args):
         dt = (time.perf_counter() - t0) / 5
         shuffle = sum(int((np.asarray(l.push_idx) >= 0).sum())
                       for l in batch.layers)
-        edges = sum(int((np.asarray(l.edge_dst) < l.dst_cap).sum())
-                    for l in batch.layers)
+        from occ_gnn_tpu.parallel.split import count_layer_edges
+        edges = sum(count_layer_edges(l) for l in batch.layers)
         assert edges == g.num_edges + g.num_nodes, \
             "full-graph slice must cover every edge (+ self loops)"
         rows.append((mode, edges, shuffle, t_move, dt))
@@ -237,8 +237,9 @@ def exp4(args):
                       for l in batch.layers)
         owned = sum(int(np.asarray(l.num_owned).sum())
                     for l in batch.layers)
+        from occ_gnn_tpu.parallel.split import count_layer_edges
         per_p = np.stack([
-            (np.asarray(l.edge_dst) < l.dst_cap).sum(axis=1)
+            count_layer_edges(l, per_partition=True)
             for l in batch.layers
         ]).sum(axis=0)
         skew = float(per_p.max() / max(per_p.mean(), 1))

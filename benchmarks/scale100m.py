@@ -151,6 +151,8 @@ def main():
         g.num_nodes, size=args.batch_size * (args.num_batches + 2),
         replace=False,
     )
+    from occ_gnn_tpu.parallel.split import count_layer_edges
+
     cache = plan
     if args.device_step:
         import jax.numpy as jnp
@@ -161,9 +163,9 @@ def main():
         record["frame_hbm_gb"] = round(
             P * plan.frame_cap * g.feature_dim * 2 / 1e9, 3
         )
-        record["refresh_bytes_per_batch"] = int(
+        record["refresh_bytes_cap"] = int(
             P * plan.refresh_cap * g.feature_dim * 2
-        )
+        )  # worst case; measured avg lands in refresh_bytes_per_batch
     sampler = NativeSplitSampler(
         g, train_nodes, pmap, P, fanouts, args.batch_size,
         capacities=caps, seed=args.seed, cache=cache,
@@ -197,9 +199,7 @@ def main():
                 batch = next(it)
                 staged.append((batch, cache.frames))
                 for lyr in batch.layers:
-                    n_edges += int(
-                        (np.asarray(lyr.edge_dst) < lyr.dst_cap).sum()
-                    )
+                    n_edges += count_layer_edges(lyr)
             b0, f0 = staged[0]  # warmup: compile step + unpack
             params, ost, loss, _, _ = step(params, ost, b0, f0)
             _ = float(loss)  # device->host fetch: the tunnel-safe sync
@@ -229,6 +229,12 @@ def main():
             )
             record["platform"] = jax.devices()[0].platform
             record["storage_dtype"] = "bfloat16"
+            record["refresh_bytes_per_batch"] = int(
+                cache.tail_bytes_total / max(cache.tail_batches, 1)
+            )
+            record["arena_bytes_per_batch"] = int(
+                getattr(sampler, "_arena_words", 0) * 4
+            )
             record["edges_per_batch"] = n_edges // nstage
             # edges_sliced / edges_per_s_wall below describe the PIPELINED
             # phase (wall covers n_pipe overlapped batches).
@@ -241,9 +247,7 @@ def main():
             n_edges = 0
             for i, batch in enumerate(it):
                 for lyr in batch.layers:
-                    n_edges += int(
-                        (np.asarray(lyr.edge_dst) < lyr.dst_cap).sum()
-                    )
+                    n_edges += count_layer_edges(lyr)
                 if i + 1 >= args.num_batches:
                     break
             wall = time.perf_counter() - t0

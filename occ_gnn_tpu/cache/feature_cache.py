@@ -238,6 +238,10 @@ class SplitFeatureCache:
         self.frames = frames
         self._sharding = sharding
         self._update = None
+        # Per-batch tail-transfer accounting (bench reads these).
+        self.tail_batches = 0
+        self.tail_bytes_total = 0
+        self.tail_rows_last = 0
 
     def refresh(self, last_layer_nodes: np.ndarray) -> None:
         import jax
@@ -267,37 +271,57 @@ class SplitFeatureCache:
         """Write the dynamic tail for a sample produced by the C++ service:
         ``refresh_nodes[p, c]`` (global id, -1 pad) gets frame row
         ``tail_start + c``. Functional update — in-flight steps keep their
-        own frames version, so the pipelined workers can run ahead."""
+        own frames version, so the pipelined workers can run ahead.
+
+        Transfer trimming (VERDICT r3 item 1 — the tail IS the dominant
+        per-batch host->device payload):
+          * only the FILLED rows ship, rounded up to a 16-step bucket
+            ladder (each bucket size traces the tiny update fn once);
+            rows beyond the bucket keep stale values, which is safe —
+            this batch's tail ids all point below the fill count;
+          * rows ship at the graph's TRUE feature width and are zero-
+            padded device-side (pad_feature_dim columns are identically
+            zero, so transferring them was pure waste — 28/128 of the
+            bytes at the bench's 100->128 padding)."""
         import jax
         import jax.numpy as jnp
 
         plan = self.plan
         if not plan.needs_refresh:
             return
-        H = plan.graph.feature_dim
+        g = plan.graph
+        Ht = g.true_feature_dim or g.feature_dim
         P = plan.P
+        rc = plan.refresh_cap
+        counts = [int((refresh_nodes[p] >= 0).sum()) for p in range(P)]
+        q = max(-(-rc // 16), 8)
+        bucket = min(max(-(-max(counts) // q) * q, q), rc)
         # Build in the storage dtype: the gather casts on assignment and
         # the H2D transfer carries half the bytes under bf16.
-        tail = np.zeros((P, plan.refresh_cap, H),
-                        dtype=np.dtype(self.dtype))
+        tail = np.zeros((P, bucket, Ht), dtype=np.dtype(self.dtype))
         for p in range(P):
-            rows = refresh_nodes[p]
-            k = int((rows >= 0).sum())
+            k = counts[p]
             if k:
-                tail[p, :k] = plan.graph.features[rows[:k]]
+                tail[p, :k] = g.features[refresh_nodes[p][:k], :Ht]
         if self._update is None:
             ts = plan.tail_start
-            rc = plan.refresh_cap
 
             @jax.jit
             def update(frames, tail):
-                return frames.at[:, ts : ts + rc, :].set(tail)
+                t = tail.astype(frames.dtype)
+                pad = frames.shape[-1] - t.shape[-1]
+                if pad:
+                    t = jnp.pad(t, ((0, 0), (0, 0), (0, pad)))
+                return jax.lax.dynamic_update_slice(frames, t, (0, ts, 0))
 
             self._update = update
         t = jnp.asarray(tail)
         if self._sharding is not None:
             t = jax.device_put(t, self._sharding)
         self.frames = self._update(self.frames, t)
+        self.tail_batches += 1
+        self.tail_rows_last = bucket
+        self.tail_bytes_total += int(tail.nbytes)
 
 
 class SingleChipCache:

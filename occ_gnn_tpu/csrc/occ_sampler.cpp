@@ -94,8 +94,18 @@ struct Config {
   // per-host slicing work scales ~1/num_hosts. Default [0, P): emit all.
   int32_t emit_lo = 0;
   int32_t emit_hi = 0;  // 0 means "set to P at create time"
+  // Payload trimming (VERDICT r3 item 1): when a layer carries the dense
+  // nbr matrix the device never reads the COO (parallel/split.aggregate
+  // prefers nbr), and when a feature cache feeds the step the input-frame
+  // global ids are never read — skip copying either out, cutting the
+  // per-batch host->device arena.
+  int32_t emit_coo = 1;    // 1: always copy edge_src/edge_dst out
+  int32_t emit_input = 1;  // 1: copy input_nodes out
   inline bool local(int p) const { return p >= emit_lo && p < emit_hi; }
   inline int32_t n_emit() const { return emit_hi - emit_lo; }
+  inline bool coo_out(int l) const {
+    return emit_coo != 0 || deg_caps[l] <= 0;
+  }
 };
 
 struct Edge {
@@ -594,9 +604,12 @@ bool Worker::slice_layer(int l, Sample* out) {
       es[k] = e.src_pos;
       k++;
     }
-    // Tail padding (the pre-fill this replaces touched all E_cap slots).
-    std::fill(ed + k, ed + E_cap, (int32_t)D_cap);
-    std::fill(es + k, es + E_cap, 0);
+    // Tail padding (the pre-fill this replaces touched all E_cap slots);
+    // skipped when the COO never leaves the worker (nbr-only layers).
+    if (cfg_.coo_out(l)) {
+      std::fill(ed + k, ed + E_cap, (int32_t)D_cap);
+      std::fill(es + k, es + E_cap, 0);
+    }
     // Edges within own_e are in frontier-row order; local owned ids are the
     // rank within owner, also ascending. But interleaved partitions mean
     // own_e isn't globally sorted by local id when... it is: dst_rank is
@@ -713,7 +726,11 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out,
     // input frame global ids (no-cache path) / targets for labels.
     const int PE = cfg_.n_emit();
     const int LO = cfg_.emit_lo;
-    out->input_nodes.assign((size_t)PE * cfg_.frame_caps[0], -1);
+    const bool emit_in = cfg_.emit_input != 0;
+    if (emit_in)
+      out->input_nodes.assign((size_t)PE * cfg_.frame_caps[0], -1);
+    else
+      out->input_nodes.clear();
     std::vector<int64_t> cnt(P, 0);
     for (size_t di = 0; di < deepest.frame.size(); di++) {
       int64_t u = deepest.frame[di];
@@ -721,7 +738,7 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out,
       int64_t c = cnt[p]++;
       if (c >= cfg_.frame_caps[0]) {
         ok = false, out->error = 7;  // input frame overflow
-      } else if (cfg_.local(p)) {
+      } else if (emit_in && cfg_.local(p)) {
         out->input_nodes[(size_t)(p - LO) * cfg_.frame_caps[0] + c] =
             (int32_t)u;
       }
@@ -820,7 +837,8 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
                  const int64_t* foreign_nodes, const int32_t* foreign_local,
                  int64_t tail_start, int64_t refresh_cap, int32_t num_workers,
                  int32_t queue_depth, uint64_t seed,
-                 int32_t sample_replace, int32_t emit_lo, int32_t emit_hi) {
+                 int32_t sample_replace, int32_t emit_lo, int32_t emit_hi,
+                 int32_t emit_coo, int32_t emit_input) {
   Service* svc = new Service();
   Config& c = svc->cfg;
   c.num_nodes = num_nodes;
@@ -847,6 +865,8 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
   c.sample_replace = sample_replace;
   c.emit_lo = emit_lo;
   c.emit_hi = (emit_hi > emit_lo) ? emit_hi : P;
+  c.emit_coo = emit_coo;
+  c.emit_input = emit_input;
   svc->seed = seed;
   svc->work = std::make_unique<BoundedQueue<WorkItem>>(
       queue_depth > 0 ? queue_depth : 4);
@@ -866,10 +886,11 @@ void occ_submit(void* handle, const int64_t* nodes, int64_t n, int64_t seq) {
 }
 
 // Blocking: pop one finished sample and copy it into caller buffers.
-// `field_ptrs` order: per layer l in [0,L): edge_src, edge_dst, push, recv,
-// owned_idx, owned_deg(float), self_idx, owned_mask(uint8), num_owned,
-// nbr (only when deg_caps[l] > 0); then input_nodes, targets,
-// refresh_nodes. Returns error code (0 = ok).
+// `field_ptrs` order: per layer l in [0,L): edge_src, edge_dst (only when
+// coo_out(l) — i.e. emit_coo or no dense nbr), push, recv, owned_idx,
+// owned_deg(float), self_idx, owned_mask(uint8), num_owned, nbr (only
+// when deg_caps[l] > 0); then input_nodes (only when emit_input),
+// targets, refresh_nodes. Returns error code (0 = ok).
 int32_t occ_next(void* handle, void** field_ptrs, int64_t* seq_out) {
   Service* svc = static_cast<Service*>(handle);
   Sample* s;
@@ -884,8 +905,10 @@ int32_t occ_next(void* handle, void** field_ptrs, int64_t* seq_out) {
       auto cp = [&](const void* src, size_t bytes) {
         std::memcpy(field_ptrs[f++], src, bytes);
       };
-      cp(L.edge_src.data(), L.edge_src.size() * 4);
-      cp(L.edge_dst.data(), L.edge_dst.size() * 4);
+      if (c.coo_out(l)) {
+        cp(L.edge_src.data(), L.edge_src.size() * 4);
+        cp(L.edge_dst.data(), L.edge_dst.size() * 4);
+      }
       cp(L.push.data(), L.push.size() * 4);
       cp(L.recv.data(), L.recv.size() * 4);
       cp(L.owned_idx.data(), L.owned_idx.size() * 4);
@@ -898,7 +921,8 @@ int32_t occ_next(void* handle, void** field_ptrs, int64_t* seq_out) {
     auto cp = [&](const void* src, size_t bytes) {
       std::memcpy(field_ptrs[f++], src, bytes);
     };
-    cp(s->input_nodes.data(), s->input_nodes.size() * 4);
+    if (c.emit_input)
+      cp(s->input_nodes.data(), s->input_nodes.size() * 4);
     cp(s->targets.data(), s->targets.size() * 4);
     if (c.owner_local) cp(s->refresh_nodes.data(),
                          s->refresh_nodes.size() * 4);

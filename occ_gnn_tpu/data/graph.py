@@ -41,6 +41,10 @@ class Graph:
     val_mask: np.ndarray | None = None
     test_mask: np.ndarray | None = None
     partition_map: np.ndarray | None = None
+    # Set by pad_feature_dim: the pre-padding feature width. Transfers of
+    # feature rows (cache refresh tails) ship only the true columns and
+    # pad device-side — the padding columns are all-zero by construction.
+    true_feature_dim: int | None = None
 
     def __post_init__(self):
         self.indptr = np.ascontiguousarray(self.indptr, dtype=np.int64)
@@ -111,7 +115,10 @@ class Graph:
                              "conversion time instead")
         feats = np.zeros((self.num_nodes, H + pad), dtype=np.float32)
         feats[:, :H] = self.features
-        return dataclasses.replace(self, features=feats)
+        return dataclasses.replace(
+            self, features=feats,
+            true_feature_dim=self.true_feature_dim or H,
+        )
 
 
 def from_edge_list(

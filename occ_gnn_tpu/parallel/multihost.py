@@ -192,5 +192,10 @@ class MultiHostSplitSampler:
         out = assemble_global(self.mesh, local)
         # Host-local input rows for no-cache feature gathering: global
         # sharded arrays are not host-readable in multi-process runs.
-        out._local_input_nodes = np.asarray(local.input_nodes)
+        # (None when a cache supplies the frame and the sampler skipped
+        # emitting input ids.)
+        out._local_input_nodes = (
+            np.asarray(local.input_nodes)
+            if local.input_nodes is not None else None
+        )
         return out

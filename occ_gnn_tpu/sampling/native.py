@@ -67,6 +67,8 @@ def load_library():
         ctypes.c_int32,  # sample_replace
         ctypes.c_int32,  # emit_lo
         ctypes.c_int32,  # emit_hi
+        ctypes.c_int32,  # emit_coo
+        ctypes.c_int32,  # emit_input
     ]
     lib.occ_submit.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                ctypes.c_int64, ctypes.c_int64]
@@ -129,6 +131,8 @@ class NativeSplitSampler:
         replace: bool = True,
         packed: bool = True,
         emit_range: tuple[int, int] | None = None,
+        emit_coo: bool | None = None,
+        emit_input: bool | None = None,
     ):
         self.graph = graph
         self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
@@ -175,6 +179,19 @@ class NativeSplitSampler:
             default_deg_caps(self.fanouts), dtype=np.int64
         )
         self.caps["deg_caps"] = [int(x) for x in self._deg_caps]
+        # Payload trimming (VERDICT r3 item 1): by default the COO is
+        # emitted only for layers without the dense nbr matrix (the device
+        # consumes nbr when present — see parallel/split.aggregate), and
+        # input_nodes only when no cache supplies the input frame.
+        # emit_coo=True forces the full emission (parity tests / debug).
+        self.emit_coo = bool(emit_coo) if emit_coo is not None else False
+        self._coo_l = [
+            self.emit_coo or int(self._deg_caps[l]) <= 0
+            for l in range(len(self.fanouts))
+        ]
+        self.emit_input = (
+            bool(emit_input) if emit_input is not None else plan is None
+        )
         if plan is not None:
             # Static-only compact maps: dynamic tail ids are assigned per
             # sample inside the workers (no shared mutable state).
@@ -233,6 +250,8 @@ class NativeSplitSampler:
             1 if replace else 0,
             self.emit_lo,
             self.emit_hi,
+            1 if self.emit_coo else 0,
+            1 if self.emit_input else 0,
         )
         self._lib = lib
         self._closed = False
@@ -293,9 +312,11 @@ class NativeSplitSampler:
         deg_caps = self.caps["deg_caps"]
         for l in range(L):
             E, S, O = caps["edge_caps"][l], caps["shuffle_caps"][l], caps["out_caps"][l]
-            f = {
-                "edge_src": np.empty((PE, E), np.int32),
-                "edge_dst": np.empty((PE, E), np.int32),
+            f = {}
+            if self._coo_l[l]:
+                f["edge_src"] = np.empty((PE, E), np.int32)
+                f["edge_dst"] = np.empty((PE, E), np.int32)
+            f |= {
                 "push": np.empty((PE, P, S), np.int32),
                 "recv": np.empty((PE, P, S), np.int32),
                 "owned_idx": np.empty((PE, O), np.int32),
@@ -309,14 +330,16 @@ class NativeSplitSampler:
                     (PE, deg_caps[l], caps["dst_caps"][l]), np.int32
                 )
             fields.append(f)
-        extra = {
-            "input_nodes": np.empty((PE, caps["frame_caps"][0]), np.int32),
-            "targets": np.empty((PE, caps["out_caps"][-1]), np.int32),
-            # refresh stays ALL-P: cache-tail bookkeeping is global
-            "refresh_nodes": np.empty(
-                (P, max(self.refresh_cap, 1)), np.int32
-            ),
-        }
+        extra = {}
+        if self.emit_input:
+            extra["input_nodes"] = np.empty(
+                (PE, caps["frame_caps"][0]), np.int32
+            )
+        extra["targets"] = np.empty((PE, caps["out_caps"][-1]), np.int32)
+        # refresh stays ALL-P: cache-tail bookkeeping is global
+        extra["refresh_nodes"] = np.empty(
+            (P, max(self.refresh_cap, 1)), np.int32
+        )
         return fields, extra
 
     def _pop(self) -> SplitBatch:
@@ -365,8 +388,9 @@ class NativeSplitSampler:
             E = caps["edge_caps"][l]
             S = caps["shuffle_caps"][l]
             O = caps["out_caps"][l]
-            add("edge_src", l, (PE, E), "i32")
-            add("edge_dst", l, (PE, E), "i32")
+            if self._coo_l[l]:
+                add("edge_src", l, (PE, E), "i32")
+                add("edge_dst", l, (PE, E), "i32")
             add("push", l, (PE, P, S), "i32")
             add("recv", l, (PE, P, S), "i32")
             add("owned_idx", l, (PE, O), "i32")
@@ -376,7 +400,8 @@ class NativeSplitSampler:
             add("num_owned", l, (PE,), "i32")
             if deg_caps[l] > 0:
                 add("nbr", l, (PE, deg_caps[l], caps["dst_caps"][l]), "i32")
-        add("input_nodes", None, (PE, caps["frame_caps"][0]), "i32")
+        if self.emit_input:
+            add("input_nodes", None, (PE, caps["frame_caps"][0]), "i32")
         add("targets", None, (PE, caps["out_caps"][-1]), "i32")
         add("refresh", None, (P, max(self.refresh_cap, 1)), "i32")
         self._layout = layout
@@ -412,12 +437,17 @@ class NativeSplitSampler:
 
         deg_caps = caps["deg_caps"]
 
+        coo_l = self._coo_l
+        emit_input = self.emit_input
+
         def unpack(arena, labels_all):
             layers = []
             for l in range(L):
                 layers.append(SplitLayer(
-                    edge_src=field(arena, "edge_src", l),
-                    edge_dst=field(arena, "edge_dst", l),
+                    edge_src=(field(arena, "edge_src", l)
+                              if coo_l[l] else None),
+                    edge_dst=(field(arena, "edge_dst", l)
+                              if coo_l[l] else None),
                     push_idx=field(arena, "push", l),
                     recv_idx=field(arena, "recv", l),
                     owned_idx=field(arena, "owned_idx", l),
@@ -440,7 +470,8 @@ class NativeSplitSampler:
             )
             return SplitBatch(
                 layers=layers,
-                input_nodes=field(arena, "input_nodes", None),
+                input_nodes=(field(arena, "input_nodes", None)
+                             if emit_input else None),
                 labels=labels,
                 target_nodes=targets,
             )
@@ -485,7 +516,8 @@ class NativeSplitSampler:
             for k in order:
                 if k in layer:
                     ptrs.append(layer[k].ctypes.data)
-        ptrs.append(extra["input_nodes"].ctypes.data)
+        if self.emit_input:
+            ptrs.append(extra["input_nodes"].ctypes.data)
         ptrs.append(extra["targets"].ctypes.data)
         ptrs.append(extra["refresh_nodes"].ctypes.data)
         arr = (ctypes.c_void_p * len(ptrs))(*ptrs)
@@ -497,8 +529,10 @@ class NativeSplitSampler:
         layers = []
         for l, f in enumerate(fields):
             layers.append(SplitLayer(
-                edge_src=jnp.asarray(f["edge_src"]),
-                edge_dst=jnp.asarray(f["edge_dst"]),
+                edge_src=(jnp.asarray(f["edge_src"])
+                          if "edge_src" in f else None),
+                edge_dst=(jnp.asarray(f["edge_dst"])
+                          if "edge_dst" in f else None),
                 push_idx=jnp.asarray(f["push"]),
                 recv_idx=jnp.asarray(f["recv"]),
                 owned_idx=jnp.asarray(f["owned_idx"]),
@@ -520,7 +554,8 @@ class NativeSplitSampler:
         )
         batch = SplitBatch(
             layers=layers,
-            input_nodes=jnp.asarray(extra["input_nodes"]),
+            input_nodes=(jnp.asarray(extra["input_nodes"])
+                         if self.emit_input else None),
             labels=jnp.asarray(labels),
             target_nodes=jnp.asarray(targets),
         )

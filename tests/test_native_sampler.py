@@ -59,7 +59,8 @@ def test_native_matches_numpy_slicer(dense_graph):
     fanouts = [_max_fanout(g)] * 2
     py = SplitSampler(g, g.train_nodes(), pmap, P, fanouts, 32, seed=1)
     nat = NativeSplitSampler(g, g.train_nodes(), pmap, P, fanouts, 32,
-                             capacities=py.caps, seed=1, num_workers=1)
+                             capacities=py.caps, seed=1, num_workers=1,
+                             emit_coo=True)
     batch_nodes = g.train_nodes()[:32]
     b_py = py.sample_batch(batch_nodes)
     b_nat = nat.sample_batch(batch_nodes)
@@ -81,7 +82,8 @@ def test_native_matches_numpy_with_cache(dense_graph):
                           capacities=py0.caps, cache=plan_py)
         nat = NativeSplitSampler(g, g.train_nodes(), pmap, P, fanouts, 32,
                                  capacities=py0.caps, seed=1,
-                                 cache=plan_nat, num_workers=1)
+                                 cache=plan_nat, num_workers=1,
+                                 emit_coo=True, emit_input=True)
         batch_nodes = g.train_nodes()[:32]
         b_py = py.sample_batch(batch_nodes)
         b_nat = nat.sample_batch(batch_nodes)
@@ -200,7 +202,8 @@ def test_probe_caps_cover_native_stream():
     caps = measure_split_capacities(g, g.train_nodes(), pmap, P, fanouts,
                                     64, num_batches=3, margin=1.35, seed=1)
     nat = NativeSplitSampler(g, g.train_nodes(), pmap, P, fanouts, 64,
-                             capacities=caps, seed=77, num_workers=2)
+                             capacities=caps, seed=77, num_workers=2,
+                             emit_coo=True)
     L = len(fanouts)
     obs_edges = [0] * L
     obs_owned = [0] * L
@@ -239,3 +242,82 @@ def test_probe_caps_cover_native_stream():
         + [obs_frame0 / caps["frame_caps"][0]]
     )
     assert worst <= 1.0
+
+
+def test_native_trimmed_emission_matches_full(dense_graph):
+    """Production trimming (VERDICT r3 item 1): with the dense nbr matrix
+    present the COO is not emitted, and with a cache the input-frame ids
+    are not emitted — everything that IS emitted must be identical to the
+    full emission, and the absent fields must be None."""
+    g = dense_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    fanouts = [_max_fanout(g)] * 2
+    py0 = SplitSampler(g, g.train_nodes(), pmap, P, fanouts, 32, seed=1)
+    plan_a = CachePlan(g, pmap, P, 0.08,
+                       refresh_cap=py0.caps["frame_caps"][0])
+    plan_b = CachePlan(g, pmap, P, 0.08,
+                       refresh_cap=py0.caps["frame_caps"][0])
+    full = NativeSplitSampler(g, g.train_nodes(), pmap, P, fanouts, 32,
+                              capacities=py0.caps, seed=1, cache=plan_a,
+                              num_workers=1, emit_coo=True, emit_input=True)
+    trim = NativeSplitSampler(g, g.train_nodes(), pmap, P, fanouts, 32,
+                              capacities=py0.caps, seed=1, cache=plan_b,
+                              num_workers=1)  # defaults: COO+input skipped
+    nodes = g.train_nodes()[:32]
+    bf = full.sample_batch(nodes)
+    bt = trim.sample_batch(nodes)
+    assert bt.input_nodes is None
+    for lf, lt in zip(bf.layers, bt.layers):
+        assert lt.edge_src is None and lt.edge_dst is None
+        assert lt.nbr_idx is not None
+        np.testing.assert_array_equal(np.asarray(lf.nbr_idx),
+                                      np.asarray(lt.nbr_idx))
+        for field in ("push_idx", "recv_idx", "owned_idx", "self_idx",
+                      "num_owned", "owned_mask"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(lf, field)),
+                np.asarray(getattr(lt, field)), err_msg=field,
+            )
+        np.testing.assert_allclose(np.asarray(lf.owned_deg),
+                                   np.asarray(lt.owned_deg))
+    np.testing.assert_array_equal(np.asarray(bf.labels),
+                                  np.asarray(bt.labels))
+    np.testing.assert_array_equal(np.asarray(bf.target_nodes),
+                                  np.asarray(bt.target_nodes))
+    # The trimmed arena must be materially smaller.
+    assert trim._arena_words < full._arena_words * 0.7
+    full.close()
+    trim.close()
+
+
+def test_count_layer_edges_matches_coo(dense_graph):
+    from occ_gnn_tpu.parallel.split import count_layer_edges
+
+    g = dense_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    fanouts = [3, 3]
+    full = NativeSplitSampler(g, g.train_nodes(), pmap, P, fanouts, 32,
+                              seed=6, num_workers=1, emit_coo=True)
+    b = full.sample_batch(g.train_nodes()[:32])
+    for lyr in b.layers:
+        coo_count = int((np.asarray(lyr.edge_dst) < lyr.dst_cap).sum())
+        nbr_only = SplitLayerView(lyr)
+        assert count_layer_edges(lyr) == coo_count
+        assert count_layer_edges(nbr_only) == coo_count
+        np.testing.assert_array_equal(
+            count_layer_edges(lyr, per_partition=True),
+            count_layer_edges(nbr_only, per_partition=True),
+        )
+    full.close()
+
+
+class SplitLayerView:
+    """A SplitLayer with the COO hidden (forces the nbr counting path)."""
+
+    def __init__(self, lyr):
+        self._lyr = lyr
+        self.edge_src = None
+        self.edge_dst = None
+
+    def __getattr__(self, name):
+        return getattr(self._lyr, name)

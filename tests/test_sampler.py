@@ -181,7 +181,8 @@ def test_native_without_replacement(small_graph):
     g = _simple_graph(small_graph)
     pmap = partition_graph(g, 1, mode="round_robin", attach=False)
     s = NativeSplitSampler(g, np.arange(g.num_nodes), pmap, 1, [3], 64,
-                           seed=5, num_workers=1, replace=False)
+                           seed=5, num_workers=1, replace=False,
+                           emit_coo=True)
     b = s.sample_batch(np.arange(64))
     lyr = b.layers[0]
     es = np.asarray(lyr.edge_src)[0]
