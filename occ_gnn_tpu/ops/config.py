@@ -96,18 +96,23 @@ _GAT_AGG_CHOICES = ("fma", "einsum")
 
 def gat_agg_impl() -> str:
     """Lowering of the batched GAT weighted partial sum
-    agg[d,c,:] = sum_k pw[k,d,c] * xg[k,d,:]: 'fma' (unrolled K-loop of
-    broadcast multiply-adds — fuses with the leaf gather on the VPU, the
-    same shape of lowering as the SAGE dense aggregation) or 'einsum'
-    (dot_general with batch dim D and a K-length contraction — tiny
-    per-d dots that pad the MXU's 128-lane tiles; the ablation measured
-    the einsum at 17.2 ms over a plain-sum floor in the products-scale
-    GAT forward, benchmarks/results/gat_phases.jsonl).
+    agg[d,c,:] = sum_k pw[k,d,c] * xg[k,d,:]: 'einsum' (default —
+    dot_general with batch dim D and a K-length contraction) or 'fma'
+    (unrolled K-loop of broadcast multiply-adds).
+
+    MEASURED at products scale on v5e (r4, bench_tpu.jsonl): einsum
+    83.5 ms/step vs fma 100.2 ms. The fma form streams the [D, heads,
+    H_in] f32 accumulator through HBM on every one of the K_cap=26
+    unrolled adds (~2x258 MB per add), swamping its VPU-fusion benefit;
+    the einsum contracts K on-chip. (The r3 ablation's 17.2 ms
+    "einsum cost over a plain-sum floor" compared uniform-weight einsum
+    against an UNWEIGHTED sum — it never measured fma, which is why the
+    r3 default flip was wrong; reverted here with both forms measured.)
 
     Read at TRACE time, same semantics as ``dense_agg_impl``."""
     global _gat_agg
     if _gat_agg is None:
-        v = os.environ.get("OCC_GAT_AGG", "fma")
+        v = os.environ.get("OCC_GAT_AGG", "einsum")
         if v not in _GAT_AGG_CHOICES:
             raise ValueError(
                 f"OCC_GAT_AGG={v!r} is not one of {_GAT_AGG_CHOICES}"

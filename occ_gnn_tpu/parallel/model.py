@@ -243,13 +243,11 @@ class SplitGAT:
                 from occ_gnn_tpu.ops.config import gat_agg_impl
 
                 if gat_agg_impl() == "fma":
-                    # Unrolled K-loop of broadcast FMAs (the SAGE dense-
-                    # aggregation lowering with a heads axis): fuses with
-                    # the leaf reads on the VPU instead of lowering to
-                    # per-d [heads, K]x[K, H] dots that pad the MXU's
-                    # 128-lane tiles (ablation: the einsum form costs
-                    # 17.2 ms of the products GAT forward over a plain-sum
-                    # floor, benchmarks/results/gat_phases.jsonl).
+                    # Unrolled K-loop of broadcast FMAs. MEASURED SLOWER
+                    # than the einsum default at products scale (100.2 vs
+                    # 83.5 ms/step, r4 bench_tpu.jsonl): each of the K_cap
+                    # adds round-trips the [D, heads, H_in] f32 accumulator
+                    # through HBM. Kept as the comparison point.
                     agg = pw[0][..., None] * xg[0][:, None, :].astype(
                         jnp.float32
                     )

@@ -505,8 +505,15 @@ def train_split(args, g, fanouts, timers):
             )
             print(f"checkpoint -> {path}")
         epoch += 1
+    import resource
+
     out = {"mode": "split", "acc": acc, "loss": loss_v, "partitions": P,
-           "phases": locals().get("last_phases", {})}
+           "phases": locals().get("last_phases", {}),
+           # Per-process peak RSS: in --distributed runs this shows each
+           # host carrying ~1/num_hosts of the cache/slicing state.
+           "peak_rss_mb": round(
+               resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+           )}
     if args.sampler == "native" and hasattr(sampler, "stats"):
         st = sampler.stats()
         out["phases"]["cxx_sample"] = round(st["sample_s_per_batch"], 4)
