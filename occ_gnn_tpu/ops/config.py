@@ -58,15 +58,20 @@ def set_dense_agg_impl(value: str) -> None:
 
 
 _gat_attention: str | None = None
-_GAT_ATTENTION_CHOICES = ("batched", "online")
+_GAT_ATTENTION_CHOICES = ("batched", "online", "tiled")
 
 
 def gat_attention_impl() -> str:
     """Dense fanout-K GAT attention lowering: 'batched' (one [K_cap, D_cap]
     leaf gather + exact two-pass softmax over the K axis, leaf-space
-    weighted aggregation, single per-head projection of the partial sums)
-    or 'online' (flash-style one-k-at-a-time streaming softmax with
-    jax.checkpoint; O(D*H) residents but K full carry read/writes).
+    weighted aggregation, single per-head projection of the partial sums),
+    'online' (flash-style one-k-at-a-time streaming softmax with
+    jax.checkpoint; O(D*H) residents but K full carry read/writes), or
+    'tiled' (lax.scan over dst tiles of OCC_GAT_TILE rows: per tile one
+    [K, T, H] leaf gather, exact two-pass softmax, and per-k
+    project-then-weight MXU matmuls with a tile-sized f32 accumulator —
+    bounds every intermediate to the tile, trading the batched form's
+    full-frame [D, heads, H] HBM streams for per-tile working sets).
 
     Read at TRACE time, same semantics as ``dense_agg_impl``."""
     global _gat_attention

@@ -561,3 +561,56 @@ def test_split_gat_fma_matches_einsum(sliced):
     finally:
         ops_config.set_gat_agg_impl(old)
     np.testing.assert_allclose(logits_f, logits_e, rtol=1e-4, atol=1e-4)
+
+
+def test_split_gat_tiled_matches_batched(sliced, monkeypatch):
+    """The tiled (scan-over-dst-tiles, project-then-weight) attention
+    lowering equals the batched two-pass form."""
+    from occ_gnn_tpu.ops import config as ops_config
+    from occ_gnn_tpu.parallel.model import SplitGAT
+
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    mesh = make_mesh(P)
+    model = SplitGAT(g.feature_dim, 6, g.num_classes, 2, num_heads=2)
+    params = model.init(jax.random.PRNGKey(13))
+    xs = _gather_split_features(g, split_batch)
+    monkeypatch.setenv("OCC_GAT_TILE", "32")  # force several tiles
+    old = ops_config.gat_attention_impl()
+    try:
+        ops_config.set_gat_attention_impl("batched")
+        logits_b = np.asarray(make_split_forward(model, mesh)(
+            params, split_batch, xs))
+        ops_config.set_gat_attention_impl("tiled")
+        logits_t = np.asarray(make_split_forward(model, mesh)(
+            params, split_batch, xs))
+    finally:
+        ops_config.set_gat_attention_impl(old)
+    np.testing.assert_allclose(logits_b, logits_t, rtol=1e-4, atol=1e-4)
+
+
+def test_split_gat_tiled_trains(sliced, monkeypatch):
+    """Gradients flow through the tiled attention scan."""
+    from occ_gnn_tpu.ops import config as ops_config
+    from occ_gnn_tpu.parallel.model import SplitGAT
+
+    g, pmap, sampler, raw, split_batch, _ = sliced
+    mesh = make_mesh(P)
+    model = SplitGAT(g.feature_dim, 6, g.num_classes, 2, num_heads=2)
+    params = model.init(jax.random.PRNGKey(14))
+    xs = _gather_split_features(g, split_batch)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    monkeypatch.setenv("OCC_GAT_TILE", "32")
+    old = ops_config.gat_attention_impl()
+    try:
+        ops_config.set_gat_attention_impl("tiled")
+        step = make_split_train_step(model, opt, mesh)
+        p2, _, loss, _, _ = step(params, opt_state, split_batch, xs)
+    finally:
+        ops_config.set_gat_attention_impl(old)
+    assert np.isfinite(float(loss))
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        params, p2,
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
