@@ -91,7 +91,9 @@ struct Config {
   // Multi-host work sharding: emit padded arrays only for partitions in
   // [emit_lo, emit_hi) — each host builds just its local rows (routing and
   // error checks stay global so every host agrees on each batch), so
-  // per-host slicing work scales ~1/num_hosts. Default [0, P): emit all.
+  // per-host EMISSION scales with the emitted share (measured 0.64x of
+  // single-host at 2 hosts, 0.49x floor at 8 — the replicated routing
+  // passes don't shard; multihost_scale.jsonl). Default [0, P): emit all.
   int32_t emit_lo = 0;
   int32_t emit_hi = 0;  // 0 means "set to P at create time"
   // Payload trimming (VERDICT r3 item 1): when a layer carries the dense

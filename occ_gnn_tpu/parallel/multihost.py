@@ -15,13 +15,18 @@ sampler traffic, exactly one all_to_all per layer at train time (the
 reference never attempted multi-host; its scaling stopped at 4 GPUs on one
 box).
 
-The slicing WORK is sharded, not replicated: construct the inner
+The slicing EMISSION is sharded, not replicated: construct the inner
 NativeSplitSampler with ``emit_range=(lo, hi)`` (this host's partition
-rows from ``local_partition_range``) and the C++ service builds only those
-rows of every padded array — per-host slicing cost scales ~1/num_hosts
-while the seeded routing pass keeps all hosts bit-agreed (validated in
-tests/test_multihost.py and tests/test_multiprocess.py). No slice
-exchange is needed at all: each host feeds exactly its local shard to
+rows from ``local_partition_range``) and the C++ service builds only
+those rows of every padded array, while the seeded sampling and routing
+passes run identically on every host so they stay bit-agreed without
+communicating (validated in tests/test_multihost.py and
+tests/test_multiprocess.py). MEASURED at products scale (r4,
+benchmarks/results/multihost_scale.jsonl): per-host slice cost is
+0.64x the single-host value on 2 hosts and bottoms at 0.49x for 8 —
+the emission scales with the host's share, the replicated
+routing/edge/shuffle bookkeeping is the floor. No slice exchange is
+needed at all: each host feeds exactly its local shard to
 ``jax.make_array_from_process_local_data``.
 
 Single-process usage degrades gracefully (process_count == 1), which is
@@ -158,7 +163,7 @@ class MultiHostSplitSampler:
         self.lo, self.hi = local_partition_range(mesh)
         # When the inner sampler already emits ONLY this host's partition
         # rows (NativeSplitSampler(emit_range=(lo, hi)) — per-host slicing
-        # work ~1/num_hosts), skip the slice here and assemble directly.
+        # emission sharded per host), skip the slice and assemble directly.
         self.pre_sliced = (
             getattr(inner, "emit_lo", 0) == self.lo
             and getattr(inner, "emit_hi", None) == self.hi
