@@ -323,28 +323,23 @@ def main():
     # for proof the host can feed the device; on this 2-core harness the
     # relay-bound device consumption in Phase C hides the host's actual
     # rate). A fresh sampler with the same worker count drains batches
-    # with NO device interaction; a host-only cache stand-in performs the
-    # per-batch tail feature gather+cast (the host half of apply_tail) so
-    # the rate includes all host work a production pipeline does.
-    class _HostTailOnly:
-        def __init__(self, plan, np_dtype):
+    # with NO device interaction. The tail feature gather+cast runs in
+    # the C++ WORKERS (the r4 production path — the ~190 ms/batch serial
+    # host gather it replaces was the consumer-side floor), so the sink
+    # only needs to accept the gathered buffers.
+    class _ProdTailSink:
+        def __init__(self, plan, dt):
             self.plan = plan
-            self._dt = np_dtype
+            self.dtype = dt
 
-        def apply_tail(self, refresh_nodes):
-            gg = self.plan.graph
-            ht = gg.true_feature_dim or gg.feature_dim
-            for p in range(self.plan.P):
-                rows = refresh_nodes[p]
-                k = int((rows >= 0).sum())
-                if k:
-                    gg.features[rows[:k], :ht].astype(self._dt)
+        def apply_tail_gathered(self, tail_buf, counts):
+            pass  # device upload is the relay's job, excluded by design
 
     NPROD = int(os.environ.get("OCC_BENCH_NPROD", 8))
     prod_sampler = NativeSplitSampler(
         g, g.train_nodes(), pmap, P, fanouts, batch_size,
         capacities=caps, seed=5,
-        cache=_HostTailOnly(cache.plan, np.dtype(dtype)),
+        cache=_ProdTailSink(cache.plan, dtype),
         num_workers=WORKERS, drop_last=True,
     )
     it3 = iter(prod_sampler)

@@ -323,6 +323,46 @@ class SplitFeatureCache:
         self.tail_rows_last = bucket
         self.tail_bytes_total += int(tail.nbytes)
 
+    def apply_tail_gathered(self, tail_buf: np.ndarray,
+                            counts: np.ndarray) -> None:
+        """Apply a tail whose feature rows were already gathered+cast by
+        the C++ workers (NativeSplitSampler(gather_tail=True)):
+        ``tail_buf[p, c]`` holds the features of refresh row c of
+        partition p for c < counts[p]; rows past the count are
+        unspecified and never referenced by the batch (their frame rows
+        get no tail id). The consumer only buckets and uploads — the
+        ~190 ms/batch serial gather this replaces was the host-side
+        production floor at products scale."""
+        import jax
+        import jax.numpy as jnp
+
+        plan = self.plan
+        if not plan.needs_refresh:
+            return
+        rc = plan.refresh_cap
+        q = max(-(-rc // 16), 8)
+        k = int(max(counts)) if len(counts) else 0
+        bucket = min(max(-(-k // q) * q, q), rc)
+        if self._update is None:
+            ts = plan.tail_start
+
+            @jax.jit
+            def update(frames, tail):
+                t = tail.astype(frames.dtype)
+                pad = frames.shape[-1] - t.shape[-1]
+                if pad:
+                    t = jnp.pad(t, ((0, 0), (0, 0), (0, pad)))
+                return jax.lax.dynamic_update_slice(frames, t, (0, ts, 0))
+
+            self._update = update
+        t = jnp.asarray(tail_buf[:, :bucket])
+        if self._sharding is not None:
+            t = jax.device_put(t, self._sharding)
+        self.frames = self._update(self.frames, t)
+        self.tail_batches += 1
+        self.tail_rows_last = bucket
+        self.tail_bytes_total += int(t.nbytes)
+
 
 class SingleChipCache:
     """PaGraph-style static cache for the single-chip/DP path

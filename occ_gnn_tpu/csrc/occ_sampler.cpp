@@ -103,6 +103,15 @@ struct Config {
   // per-batch host->device arena.
   int32_t emit_coo = 1;    // 1: always copy edge_src/edge_dst out
   int32_t emit_input = 1;  // 1: copy input_nodes out
+  // Worker-side cache-tail feature gather (r4): with a feature table
+  // configured, each worker gathers+casts the refresh rows' features into
+  // the sample, so the Python consumer never touches the table — the
+  // gather+cast (~194 ms/batch serial at products scale, 5.4x the device
+  // step) parallelizes across workers and pipelines ahead.
+  const float* features = nullptr;  // [num_nodes, feat_stride] f32
+  int64_t feat_stride = 0;          // row stride in ELEMENTS (padded H)
+  int32_t feat_cols = 0;            // columns to copy (true feature dim)
+  int32_t feat_bf16 = 0;            // 1: cast to bf16; 0: copy f32
   inline bool local(int p) const { return p >= emit_lo && p < emit_hi; }
   inline int32_t n_emit() const { return emit_hi - emit_lo; }
   inline bool coo_out(int l) const {
@@ -142,6 +151,12 @@ struct Sample {
   std::vector<int32_t> input_nodes;    // [P * F0_cap], pad -1
   std::vector<int32_t> targets;        // [P * T_cap], pad -1
   std::vector<int32_t> refresh_nodes;  // [P * refresh_cap], pad -1
+  // Gathered tail features for emitted partitions, filled prefix per
+  // partition only: [PE * refresh_cap * feat_cols] as bf16 (u16) or f32
+  // (2 u16 words). Beyond each partition's fill count the content is
+  // UNSPECIFIED (those frame rows are never referenced by the batch).
+  std::vector<uint16_t> tail_feats;
+  std::vector<int64_t> tail_fill;      // [P] rows gathered per partition
   int32_t error = 0;  // 0 ok; >0 capacity overflow code
   int64_t seq = -1;   // submission sequence number (ordered delivery)
 };
@@ -187,8 +202,18 @@ class BoundedQueue {
 struct Stats {
   std::atomic<int64_t> sample_ns{0};
   std::atomic<int64_t> slice_ns{0};
+  std::atomic<int64_t> tail_ns{0};  // worker-side tail feature gather
   std::atomic<int64_t> samples{0};
 };
+
+// Round-to-nearest-even f32 -> bf16 (matches ml_dtypes/XLA casts on
+// finite values; feature tables are finite by construction).
+static inline uint16_t f32_to_bf16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  x += 0x7FFFu + ((x >> 16) & 1u);
+  return (uint16_t)(x >> 16);
+}
 
 struct XorShift {
   uint64_t s;
@@ -697,6 +722,7 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out,
   // Cache: assign per-sample dynamic tail ids in deepest-frame order
   // (identical to CachePlan.refresh ordering) and emit the refresh list.
   tail_nodes_scratch_.clear();
+  out->tail_fill.assign(P, 0);
   if (cfg_.owner_local) {
     out->refresh_nodes.assign((size_t)P * cfg_.refresh_cap, -1);
     std::vector<int64_t> tail_cnt(P, 0);
@@ -719,6 +745,7 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out,
         out->refresh_nodes[(size_t)p * cfg_.refresh_cap + c] = (int32_t)u;
       }
     }
+    for (int p = 0; p < P; p++) out->tail_fill[p] = tail_cnt[p];
   }
 
   bool ok = true;
@@ -756,13 +783,46 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out,
     }
   }
 
+  auto t_slice_end = std::chrono::steady_clock::now();
+  // Worker-side tail feature gather+cast for emitted partitions (only
+  // after a fully successful slice — overflow samples carry no tail).
+  if (ok && cfg_.owner_local && cfg_.features) {
+    const int PE = cfg_.n_emit();
+    const int LO = cfg_.emit_lo;
+    const int64_t rc = cfg_.refresh_cap;
+    const int32_t cols = cfg_.feat_cols;
+    const size_t words = cfg_.feat_bf16 ? (size_t)cols : (size_t)cols * 2;
+    out->tail_feats.resize((size_t)PE * rc * words);
+    for (int p = LO; p < cfg_.emit_hi; p++) {
+      const int32_t* rows = out->refresh_nodes.data() + (size_t)p * rc;
+      uint16_t* dst_base =
+          out->tail_feats.data() + (size_t)(p - LO) * rc * words;
+      const int64_t fill = out->tail_fill[p];
+      for (int64_t c = 0; c < fill; c++) {
+        const float* src = cfg_.features + (size_t)rows[c] * cfg_.feat_stride;
+        if (c + 4 < fill)
+          __builtin_prefetch(cfg_.features +
+                             (size_t)rows[c + 4] * cfg_.feat_stride);
+        uint16_t* dst = dst_base + (size_t)c * words;
+        if (cfg_.feat_bf16) {
+          for (int32_t j = 0; j < cols; j++) dst[j] = f32_to_bf16(src[j]);
+        } else {
+          std::memcpy(dst, src, (size_t)cols * 4);
+        }
+      }
+    }
+  } else {
+    out->tail_feats.clear();
+  }
+
   // Reset per-sample tail assignments.
   for (int64_t u : tail_nodes_scratch_) tail_id_[u] = -1;
   tail_nodes_scratch_.clear();
   if (stats_) {
     auto t2 = std::chrono::steady_clock::now();
     stats_->sample_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(t1 - t0).count();
-    stats_->slice_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(t2 - t1).count();
+    stats_->slice_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(t_slice_end - t1).count();
+    stats_->tail_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(t2 - t_slice_end).count();
     stats_->samples += 1;
   }
   return ok;
@@ -840,7 +900,9 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
                  int64_t tail_start, int64_t refresh_cap, int32_t num_workers,
                  int32_t queue_depth, uint64_t seed,
                  int32_t sample_replace, int32_t emit_lo, int32_t emit_hi,
-                 int32_t emit_coo, int32_t emit_input) {
+                 int32_t emit_coo, int32_t emit_input,
+                 const float* features, int64_t feat_stride,
+                 int32_t feat_cols, int32_t feat_bf16) {
   Service* svc = new Service();
   Config& c = svc->cfg;
   c.num_nodes = num_nodes;
@@ -869,6 +931,10 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
   c.emit_hi = (emit_hi > emit_lo) ? emit_hi : P;
   c.emit_coo = emit_coo;
   c.emit_input = emit_input;
+  c.features = features;
+  c.feat_stride = feat_stride;
+  c.feat_cols = feat_cols;
+  c.feat_bf16 = feat_bf16;
   svc->seed = seed;
   svc->work = std::make_unique<BoundedQueue<WorkItem>>(
       queue_depth > 0 ? queue_depth : 4);
@@ -928,17 +994,32 @@ int32_t occ_next(void* handle, void** field_ptrs, int64_t* seq_out) {
     cp(s->targets.data(), s->targets.size() * 4);
     if (c.owner_local) cp(s->refresh_nodes.data(),
                          s->refresh_nodes.size() * 4);
+    if (c.owner_local && c.features) {
+      // Gathered tail features: copy ONLY each partition's filled prefix
+      // (dst layout [PE, refresh_cap, cols]; rows past the fill are
+      // unspecified and never referenced by this batch).
+      const size_t words = c.feat_bf16 ? (size_t)c.feat_cols
+                                       : (size_t)c.feat_cols * 2;
+      uint16_t* dst = (uint16_t*)field_ptrs[f++];
+      const int64_t rc = c.refresh_cap;
+      for (int p = c.emit_lo; p < c.emit_hi; p++) {
+        const size_t off = (size_t)(p - c.emit_lo) * rc * words;
+        std::memcpy(dst + off, s->tail_feats.data() + off,
+                    (size_t)s->tail_fill[p] * words * 2);
+      }
+    }
   }
   svc->put_buffer(s);
   return err;
 }
 
-// Fill [sample_s, slice_s, samples] for phase reporting.
-void occ_stats(void* handle, double* out3) {
+// Fill [sample_s, slice_s, tail_gather_s, samples] for phase reporting.
+void occ_stats(void* handle, double* out4) {
   Service* svc = static_cast<Service*>(handle);
-  out3[0] = svc->stats.sample_ns.load() * 1e-9;
-  out3[1] = svc->stats.slice_ns.load() * 1e-9;
-  out3[2] = (double)svc->stats.samples.load();
+  out4[0] = svc->stats.sample_ns.load() * 1e-9;
+  out4[1] = svc->stats.slice_ns.load() * 1e-9;
+  out4[2] = svc->stats.tail_ns.load() * 1e-9;
+  out4[3] = (double)svc->stats.samples.load();
 }
 
 void occ_destroy(void* handle) {

@@ -100,6 +100,7 @@ class MultiHostFeatureCache:
         )
         self.frames = self._assemble(local)
         self._update = None
+        self._bucket_update = None
 
     def _assemble(self, local_rows: np.ndarray):
         if jax.process_count() == 1:
@@ -130,6 +131,44 @@ class MultiHostFeatureCache:
             np.dtype(self.dtype)
         )
         self.frames = self._update_fn()(self.frames, self._assemble(local))
+
+    def apply_tail_gathered(self, tail_buf: np.ndarray,
+                            counts: np.ndarray) -> None:
+        """Worker-gathered tails (NativeSplitSampler(gather_tail=True) with
+        emit_range=(lo, hi)): ``tail_buf`` holds ONLY this host's local
+        partition rows, already cast to the storage dtype, at the true
+        feature width. ``counts`` covers ALL P partitions (the refresh
+        list is global bookkeeping), so every host derives the same
+        shapes without communicating. Rows past each partition's count
+        are unspecified and never referenced by the batch."""
+        plan = self.plan
+        if not plan.needs_refresh:
+            return
+        rc = plan.refresh_cap
+        q = max(-(-rc // 16), 8)
+        k = int(max(counts)) if len(counts) else 0
+        bucket = min(max(-(-k // q) * q, q), rc)
+        if self._bucket_update is None:
+            import jax.numpy as jnp
+
+            ts = plan.tail_start
+
+            @jax.jit
+            def update(frames, tail):
+                t = tail.astype(frames.dtype)
+                pad = frames.shape[-1] - t.shape[-1]
+                if pad:
+                    t = jnp.pad(t, ((0, 0), (0, 0), (0, pad)))
+                return jax.lax.dynamic_update_slice(frames, t, (0, ts, 0))
+
+            self._bucket_update = update
+        local = np.ascontiguousarray(tail_buf[:, :bucket])
+        tail_sh = NamedSharding(self.mesh, P("p"))
+        if jax.process_count() == 1:
+            t = jax.device_put(local, tail_sh)
+        else:
+            t = jax.make_array_from_process_local_data(tail_sh, local)
+        self.frames = self._bucket_update(self.frames, t)
 
     def apply_tail(self, refresh_nodes: np.ndarray) -> None:
         """Native-service path: ``refresh_nodes`` is the ALL-P refresh list

@@ -69,6 +69,10 @@ def load_library():
         ctypes.c_int32,  # emit_hi
         ctypes.c_int32,  # emit_coo
         ctypes.c_int32,  # emit_input
+        ctypes.c_void_p,  # features (f32 table; NULL = no tail gather)
+        ctypes.c_int64,  # feat_stride (elements)
+        ctypes.c_int32,  # feat_cols (true feature dim)
+        ctypes.c_int32,  # feat_bf16
     ]
     lib.occ_submit.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                ctypes.c_int64, ctypes.c_int64]
@@ -133,6 +137,7 @@ class NativeSplitSampler:
         emit_range: tuple[int, int] | None = None,
         emit_coo: bool | None = None,
         emit_input: bool | None = None,
+        gather_tail: bool | None = None,
     ):
         self.graph = graph
         self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
@@ -192,6 +197,41 @@ class NativeSplitSampler:
         self.emit_input = (
             bool(emit_input) if emit_input is not None else plan is None
         )
+        # Worker-side tail feature gather (r4): when the cache consumes
+        # pre-gathered tails (SplitFeatureCache/MultiHostFeatureCache),
+        # the C++ workers gather+cast the refresh rows' features into a
+        # per-sample buffer — the ~190 ms/batch serial host gather at
+        # products scale moves into the pipelined worker pool.
+        auto_gather = (
+            plan is not None
+            and getattr(plan, "needs_refresh", False)
+            and cache is not None
+            and hasattr(cache, "apply_tail_gathered")
+            and isinstance(graph.features, np.ndarray)
+            and graph.features.dtype == np.float32
+        )
+        self.gather_tail = (bool(gather_tail) if gather_tail is not None
+                            else auto_gather)
+        self._feat_bf16 = 0
+        feats_p = None
+        feat_stride = feat_cols = 0
+        if self.gather_tail:
+            assert plan is not None, "gather_tail needs a cache plan"
+            f = graph.features
+            assert f.strides[1] == 4, "features must be row-contiguous f32"
+            tail_dtype = np.dtype(getattr(cache, "dtype", np.float32))
+            self._feat_bf16 = 1 if tail_dtype.itemsize == 2 else 0
+            feat_cols = int(graph.true_feature_dim or graph.feature_dim)
+            feat_stride = f.strides[0] // 4
+            feats_p = f.ctypes.data
+            # Pooled per-sample buffers: out-of-order completions are
+            # parked in the reorder dict with their own tail buffer, so a
+            # later pop never overwrites an undelivered batch's tail.
+            self._tail_shape = (
+                self.P_emit, max(plan.refresh_cap, 1), feat_cols
+            )
+            self._tail_dtype = tail_dtype
+            self._tail_pool: list[np.ndarray] = []
         if plan is not None:
             # Static-only compact maps: dynamic tail ids are assigned per
             # sample inside the workers (no shared mutable state).
@@ -252,6 +292,10 @@ class NativeSplitSampler:
             self.emit_hi,
             1 if self.emit_coo else 0,
             1 if self.emit_input else 0,
+            feats_p,
+            feat_stride,
+            feat_cols,
+            self._feat_bf16,
         )
         self._lib = lib
         self._closed = False
@@ -357,10 +401,23 @@ class NativeSplitSampler:
             # Raise IN TURN: seqs after the failed one stay buffered and
             # are delivered in order if the caller recovers.
             batch.raise_()
-        if self.cache is not None and hasattr(self.cache, "apply_tail"):
+        if self.gather_tail:
+            # Workers already gathered+cast the tail rows; the consumer
+            # only forwards the buffer (bucketed) to the device.
+            counts = (batch._refresh_nodes >= 0).sum(axis=1)
+            buf = batch._tail_feats
+            self.cache.apply_tail_gathered(buf, counts)
+            self._tail_pool.append(buf)
+            del batch._tail_feats
+        elif self.cache is not None and hasattr(self.cache, "apply_tail"):
             self.cache.apply_tail(batch._refresh_nodes)
         del batch._refresh_nodes
         return batch
+
+    def _get_tail_buf(self) -> np.ndarray:
+        if self._tail_pool:
+            return self._tail_pool.pop()
+        return np.empty(self._tail_shape, self._tail_dtype)
 
     # -- packed transfer path ---------------------------------------------
     # The C++ service writes every field into ONE host arena; the whole
@@ -490,10 +547,16 @@ class NativeSplitSampler:
         arena = np.empty(self._arena_words, np.int32)
         base = arena.ctypes.data
         ptrs = [base + off * 4 for (_, _, off, _, _) in self._layout]
+        tail_buf = None
+        if self.gather_tail:
+            tail_buf = self._get_tail_buf()
+            ptrs.append(tail_buf.ctypes.data)
         arr = (ctypes.c_void_p * len(ptrs))(*ptrs)
         seq = ctypes.c_int64(-1)
         err = self._lib.occ_next(self._handle, arr, ctypes.byref(seq))
         if err != 0:
+            if tail_buf is not None:
+                self._tail_pool.append(tail_buf)
             return seq.value, _SlicerError(err)
         # Host-side view of the refresh list BEFORE upload (apply_tail
         # gathers features from host RAM).
@@ -501,6 +564,8 @@ class NativeSplitSampler:
         refresh = arena[roff : roff + int(np.prod(rshape))].reshape(rshape)
         batch = self._unpack_fn(jnp.asarray(arena), self._labels_dev)
         batch._refresh_nodes = refresh
+        if tail_buf is not None:
+            batch._tail_feats = tail_buf
         return seq.value, batch
 
     def _pop_any(self):
@@ -520,10 +585,16 @@ class NativeSplitSampler:
             ptrs.append(extra["input_nodes"].ctypes.data)
         ptrs.append(extra["targets"].ctypes.data)
         ptrs.append(extra["refresh_nodes"].ctypes.data)
+        tail_buf = None
+        if self.gather_tail:
+            tail_buf = self._get_tail_buf()
+            ptrs.append(tail_buf.ctypes.data)
         arr = (ctypes.c_void_p * len(ptrs))(*ptrs)
         seq = ctypes.c_int64(-1)
         err = self._lib.occ_next(self._handle, arr, ctypes.byref(seq))
         if err != 0:
+            if tail_buf is not None:
+                self._tail_pool.append(tail_buf)
             return seq.value, _SlicerError(err)
         caps = self.caps
         layers = []
@@ -562,19 +633,23 @@ class NativeSplitSampler:
         # Cache tails are applied at DELIVERY time (in _pop), preserving
         # per-batch frame pairing under reordering.
         batch._refresh_nodes = extra["refresh_nodes"]
+        if tail_buf is not None:
+            batch._tail_feats = tail_buf
         return seq.value, batch
 
     def stats(self) -> dict:
         """Accumulated worker phase timers (reference Timer analog)."""
-        buf = np.zeros(3, dtype=np.float64)
+        buf = np.zeros(4, dtype=np.float64)
         self._lib.occ_stats(self._handle, buf.ctypes.data)
-        n = max(buf[2], 1.0)
+        n = max(buf[3], 1.0)
         return {
             "sample_s_total": float(buf[0]),
             "slice_s_total": float(buf[1]),
-            "samples": int(buf[2]),
+            "tail_gather_s_total": float(buf[2]),
+            "samples": int(buf[3]),
             "sample_s_per_batch": float(buf[0] / n),
             "slice_s_per_batch": float(buf[1] / n),
+            "tail_gather_s_per_batch": float(buf[2] / n),
         }
 
     def close(self):

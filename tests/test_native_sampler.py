@@ -321,3 +321,89 @@ class SplitLayerView:
 
     def __getattr__(self, name):
         return getattr(self._lyr, name)
+
+
+def test_worker_gathered_tail_matches_host_path(dense_graph):
+    """gather_tail=True: the C++ workers gather+cast the refresh rows'
+    features; resulting device frames must equal the host-gather path
+    exactly (f32 copy is bit-exact; bf16 uses the same round-to-nearest-
+    even as ml_dtypes)."""
+    import jax.numpy as jnp
+
+    g = dense_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    fanouts = [_max_fanout(g)] * 2
+    from occ_gnn_tpu.sampling.slicer import plan_split_capacities
+
+    caps = plan_split_capacities(32, fanouts, g.num_nodes, P)
+    for dtype in (None, jnp.bfloat16):
+        frames = {}
+        plan = None
+        for mode in ("host", "worker"):
+            plan = CachePlan(g, pmap, P, 0.05,
+                             refresh_cap=caps["frame_caps"][0])
+            cache = SplitFeatureCache(plan, dtype=dtype)
+            nat = NativeSplitSampler(
+                g, g.train_nodes(), pmap, P, fanouts, 32,
+                capacities=caps, seed=4, cache=cache, num_workers=1,
+                gather_tail=(mode == "worker"),
+            )
+            assert nat.gather_tail == (mode == "worker")
+            nat.sample_batch(g.train_nodes()[:32])
+            nat.sample_batch(g.train_nodes()[32:64])
+            frames[mode] = np.asarray(cache.frames.astype(jnp.float32))
+            nat.close()
+        ts = plan.tail_start
+        h, w = frames["host"], frames["worker"]
+        np.testing.assert_array_equal(h[:, :ts], w[:, :ts])
+        # Compare only rows a batch can reference: wherever the host path
+        # wrote a nonzero tail row, the worker path must match bit-exact
+        # (rows past the fill are unspecified in the worker path).
+        nonzero = np.abs(h[:, ts:-1]).sum(axis=2) > 0
+        np.testing.assert_array_equal(
+            h[:, ts:-1][nonzero], w[:, ts:-1][nonzero]
+        )
+
+
+def test_worker_gathered_tail_multiworker_reorder(dense_graph):
+    """Out-of-order completions across 4 workers must not cross tails
+    between batches (per-batch pooled buffers)."""
+    g = dense_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    fanouts = [_max_fanout(g)] * 2
+    from occ_gnn_tpu.sampling.slicer import plan_split_capacities
+
+    caps = plan_split_capacities(32, fanouts, g.num_nodes, P)
+    plan = CachePlan(g, pmap, P, 0.05, refresh_cap=caps["frame_caps"][0])
+    cache = SplitFeatureCache(plan)
+    nat = NativeSplitSampler(
+        g, g.train_nodes(), pmap, P, fanouts, 32,
+        capacities=caps, seed=9, cache=cache, num_workers=4,
+        gather_tail=True,
+    )
+    nodes = g.train_nodes()
+    for i in range(6):
+        nat._submit(np.ascontiguousarray(nodes[i * 32 : (i + 1) * 32],
+                                         dtype=np.int64))
+    # Twin: host-path sampler, same seed/batches, applied in order.
+    plan2 = CachePlan(g, pmap, P, 0.05, refresh_cap=caps["frame_caps"][0])
+    cache2 = SplitFeatureCache(plan2)
+    twin = NativeSplitSampler(
+        g, g.train_nodes(), pmap, P, fanouts, 32,
+        capacities=caps, seed=9, cache=cache2, num_workers=1,
+        gather_tail=False,
+    )
+    for i in range(6):
+        nat._pop()
+        twin.sample_batch(nodes[i * 32 : (i + 1) * 32])
+        ts = plan.tail_start
+        np.testing.assert_array_equal(
+            np.asarray(cache.frames)[:, :ts],
+            np.asarray(cache2.frames)[:, :ts],
+        )
+        h = np.asarray(cache2.frames)[:, ts:-1]
+        w = np.asarray(cache.frames)[:, ts:-1]
+        nonzero = np.abs(h).sum(axis=2) > 0
+        np.testing.assert_array_equal(h[nonzero], w[nonzero])
+    nat.close()
+    twin.close()
