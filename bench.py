@@ -385,6 +385,9 @@ def main():
         "hbm_roofline_pct": round(100 * hbm, 1) if hbm is not None else None,
         "cxx_sample_ms": round(host_stats["sample_s_per_batch"] * 1e3, 1),
         "cxx_slice_ms": round(host_stats["slice_s_per_batch"] * 1e3, 1),
+        "cxx_tail_gather_ms": round(
+            host_stats.get("tail_gather_s_per_batch", 0.0) * 1e3, 1
+        ),
         "pipelined_edges_per_s": round(pipe_eps, 1),
         "pipelined_vs_baseline": round(
             pipe_eps / BASELINE_EDGES_PER_S_PER_GPU, 3
