@@ -800,6 +800,10 @@ bool Worker::process(const std::vector<int64_t>& batch, Sample* out,
       const int64_t fill = out->tail_fill[p];
       for (int64_t c = 0; c < fill; c++) {
         const float* src = cfg_.features + (size_t)rows[c] * cfg_.feat_stride;
+        // Random row reads from a GB-scale table are latency-bound; a
+        // single first-line prefetch a few rows ahead measured best
+        // (prefetching every line of the row 8 ahead ran ~8% SLOWER —
+        // fill-buffer pressure; worker_scaling.jsonl r4 runs).
         if (c + 4 < fill)
           __builtin_prefetch(cfg_.features +
                              (size_t)rows[c + 4] * cfg_.feat_stride);
