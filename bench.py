@@ -285,7 +285,9 @@ def main():
                   if cache.plan.needs_refresh else 0)
 
     host_ms_per_worker = (host_stats["sample_s_per_batch"]
-                          + host_stats["slice_s_per_batch"]) * 1e3
+                          + host_stats["slice_s_per_batch"]
+                          + host_stats.get("tail_gather_s_per_batch", 0.0)
+                          ) * 1e3
     workers_to_saturate = int(np.ceil(host_ms_per_worker / (step_s * 1e3)))
 
     # Phase C: fully-overlapped pipeline on THIS host — fresh sampler with
