@@ -244,28 +244,47 @@ class SplitFeatureCache:
         self.tail_rows_last = 0
 
     def refresh(self, last_layer_nodes: np.ndarray) -> None:
+        """Numpy-sampler path. Shares apply_tail's transfer trimming:
+        only the filled rows (bucketed) at the true feature width cross
+        host->device; rows past the bucket keep stale values, which are
+        never referenced (tail ids only point below the fill)."""
         import jax
         import jax.numpy as jnp
 
         tail = self.plan.refresh(last_layer_nodes)
         if tail is None:
             return
+        plan = self.plan
+        g = plan.graph
+        Ht = g.true_feature_dim or g.feature_dim
+        rc = plan.refresh_cap
+        counts = plan.dynamic_fill_sizes()
+        q = max(-(-rc // 16), 8)
+        bucket = min(max(-(-max(counts) // q) * q, q), rc)
         if self._update is None:
-            ts = self.plan.tail_start
-            rc = self.plan.refresh_cap
+            ts = plan.tail_start
 
             @jax.jit
             def update(frames, tail):
-                return frames.at[:, ts : ts + rc, :].set(tail)
+                t = tail.astype(frames.dtype)
+                pad = frames.shape[-1] - t.shape[-1]
+                if pad:
+                    t = jnp.pad(t, ((0, 0), (0, 0), (0, pad)))
+                return jax.lax.dynamic_update_slice(frames, t, (0, ts, 0))
 
             self._update = update
         # Cast on the HOST so the H2D transfer carries the storage dtype
         # (bf16 halves the refresh bytes — at products scale the tail is
         # the dominant per-batch transfer).
-        tail = jnp.asarray(np.asarray(tail).astype(self.dtype))
+        t = jnp.asarray(np.ascontiguousarray(
+            tail[:, :bucket, :Ht]
+        ).astype(np.dtype(self.dtype)))
         if self._sharding is not None:
-            tail = jax.device_put(tail, self._sharding)
-        self.frames = self._update(self.frames, tail)
+            t = jax.device_put(t, self._sharding)
+        self.frames = self._update(self.frames, t)
+        self.tail_batches += 1
+        self.tail_rows_last = bucket
+        self.tail_bytes_total += int(t.nbytes)
 
     def apply_tail(self, refresh_nodes: np.ndarray) -> None:
         """Write the dynamic tail for a sample produced by the C++ service:
