@@ -185,11 +185,17 @@ class CachePlan:
             out[i, : rows.shape[0]] = self.graph.features[rows]
         return out
 
-    def refresh(self, last_layer_nodes: np.ndarray) -> np.ndarray | None:
+    def refresh(self, last_layer_nodes: np.ndarray,
+                collect: bool = True) -> np.ndarray | None:
         """Evict the previous batch's dynamic fill and stage features of the
         batch's missing owned nodes. Returns the new tail [P, R_cap, H] to
         write at frames[:, tail_start:, :], or None when no refresh needed
-        (cache >= 1/P — reference memory_manager.py:76-78)."""
+        (cache >= 1/P — reference memory_manager.py:76-78).
+
+        ``collect=False`` updates only the bookkeeping (owner_local /
+        _dynamic) without materializing the tail array — used by the fast
+        capacity prober, where allocating a worst-case [P, R_cap, H]
+        zeros per batch dominated measurement time."""
         if not self.needs_refresh:
             return None
         for p in range(self.P):
@@ -199,7 +205,8 @@ class CachePlan:
             self._dynamic[p] = np.empty(0, dtype=np.int64)
         nodes = np.asarray(last_layer_nodes, dtype=np.int64)
         H = self.graph.feature_dim
-        tail = np.zeros((self.P, self.refresh_cap, H), dtype=np.float32)
+        tail = (np.zeros((self.P, self.refresh_cap, H), dtype=np.float32)
+                if collect else None)
         for p in range(self.P):
             own = nodes[self.wmap[nodes] == p]
             missing = own[self.owner_local[own] == -1]
@@ -211,7 +218,8 @@ class CachePlan:
                 )
             k = missing.shape[0]
             if k:
-                tail[p, :k] = self.graph.features[missing]
+                if collect:
+                    tail[p, :k] = self.graph.features[missing]
                 self.owner_local[missing] = self.tail_start + np.arange(
                     k, dtype=np.int32
                 )

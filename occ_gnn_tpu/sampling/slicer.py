@@ -468,6 +468,63 @@ def raw_to_single_batch(raw: list[_RawLayer], graph: Graph, caps: dict):
     )
 
 
+def _measure_raw_maxima(sampler: "SplitSampler", raw: list["_RawLayer"]):
+    """Per-field maxima of one raw sample WITHOUT materializing the padded
+    SplitBatch — replicates _slice_layer's routing, counting only. Used
+    by the fast capacity prober: building worst-case padded arrays per
+    probe batch cost minutes at products scale for numbers that are pure
+    counts."""
+    P = sampler.P
+    wmap = sampler.wmap
+    L = len(raw)
+    out = {"edges": [0] * L, "dst": [0] * L, "owned": [0] * L,
+           "shuffle": [0] * L}
+    for l in range(L):
+        rl = raw[L - 1 - l]
+        use_cache = l == 0 and sampler.cache is not None
+        dst_owner = wmap[rl.frontier]
+        dst_counts = np.bincount(dst_owner, minlength=P)
+        out["owned"][l] = int(dst_counts.max())
+        e_dst_owner = dst_owner[rl.e_dst]
+        if use_cache:
+            plan = sampler.cache_plan
+            natural = plan.cached_on(rl.e_src_global, e_dst_owner)
+            e_route = np.where(natural, e_dst_owner,
+                               wmap[rl.e_src_global])
+        else:
+            src_frame_pos = rl.rank[
+                np.searchsorted(rl.uniq, rl.e_src_global)
+            ]
+            e_route = wmap[rl.frame][src_frame_pos]
+        out["edges"][l] = int(
+            np.bincount(e_route, minlength=P).max()
+        )
+        # dst frame per p = owned + unique foreign dsts routed to p;
+        # shuffle (p -> q) = those uniques grouped by the dst's owner.
+        foreign = e_route != e_dst_owner
+        if foreign.any():
+            F = rl.frontier.shape[0]
+            pairs = np.unique(
+                e_route[foreign].astype(np.int64) * F
+                + rl.e_dst[foreign]
+            )
+            pp = (pairs // F).astype(np.int64)
+            dd = pairs % F
+            fcnt = np.bincount(pp, minlength=P)
+            out["dst"][l] = int((dst_counts + fcnt).max())
+            qq = dst_owner[dd]
+            out["shuffle"][l] = int(
+                np.bincount(pp * P + qq, minlength=P * P).max()
+            )
+        else:
+            out["dst"][l] = int(dst_counts.max())
+            out["shuffle"][l] = 0
+    out["frame0"] = int(
+        np.bincount(wmap[raw[-1].frame], minlength=P).max()
+    )
+    return out
+
+
 def measure_split_capacities(
     graph: Graph,
     train_nodes: np.ndarray,
@@ -479,6 +536,7 @@ def measure_split_capacities(
     margin: float = 1.35,
     seed: int = 0,
     cache_plan=None,
+    fast: bool = True,
 ) -> dict:
     """Empirical padding budgets: slice a few batches under the always-safe
     capacities, record the observed per-field maxima, and return them with
@@ -514,8 +572,37 @@ def measure_split_capacities(
     max_shuffle = [0] * L
     max_frame0 = 0
     max_refresh = 0
-    it = iter(sampler)
-    for _ in range(num_batches):
+    if fast:
+        # Counting-only probe: same RNG stream as the padded path (the
+        # permutation and _sample_raw draws are identical; slicing never
+        # consumes RNG), same maxima (asserted equal in
+        # tests/test_sampler.py), minutes faster at products scale.
+        plan = (getattr(cache_plan, "plan", cache_plan)
+                if cache_plan is not None else None)
+        order = sampler.rng.permutation(sampler.train_nodes.shape[0])
+        nodes = sampler.train_nodes[order]
+        for b in range(min(num_batches, len(sampler))):
+            batch_nodes = nodes[b * batch_size : (b + 1) * batch_size]
+            if batch_nodes.shape[0] == 0:
+                break
+            raw = sampler._sample_raw(batch_nodes)
+            if plan is not None:
+                plan.refresh(raw[-1].frame, collect=False)
+            mx = _measure_raw_maxima(sampler, raw)
+            for l in range(L):
+                max_edges[l] = max(max_edges[l], mx["edges"][l])
+                max_dst[l] = max(max_dst[l], mx["dst"][l])
+                max_owned[l] = max(max_owned[l], mx["owned"][l])
+                max_shuffle[l] = max(max_shuffle[l], mx["shuffle"][l])
+            max_frame0 = max(max_frame0, mx["frame0"])
+            if plan is not None:
+                sizes = plan.dynamic_fill_sizes()
+                max_refresh = max(max_refresh,
+                                  max(sizes) if sizes else 0)
+        it = iter(())  # consumed
+    else:
+        it = iter(sampler)
+    for _ in range(0 if fast else num_batches):
         try:
             batch = next(it)
         except StopIteration:

@@ -193,3 +193,35 @@ def test_native_without_replacement(small_graph):
         srcs = es[ed == d]
         assert np.unique(srcs).shape[0] == srcs.shape[0]
     s.close()
+
+
+def test_fast_capacity_probe_matches_padded(small_graph):
+    """The fast (counting-only) capacity prober must return EXACTLY the
+    capacities of the padded-slicing prober — same RNG stream, same
+    maxima — with and without a cache plan."""
+    from occ_gnn_tpu.cache import CachePlan
+    from occ_gnn_tpu.data import partition_graph
+    from occ_gnn_tpu.sampling.slicer import (
+        measure_split_capacities,
+        plan_split_capacities,
+    )
+
+    g = small_graph
+    pmap = partition_graph(g, 4, mode="greedy", attach=False)
+    fanouts = [4, 3]
+    slow = measure_split_capacities(g, g.train_nodes(), pmap, 4, fanouts,
+                                    48, num_batches=3, seed=5, fast=False)
+    fastc = measure_split_capacities(g, g.train_nodes(), pmap, 4, fanouts,
+                                     48, num_batches=3, seed=5, fast=True)
+    assert slow == fastc, (slow, fastc)
+
+    safe = plan_split_capacities(48, fanouts, g.num_nodes, 4)
+    plan_a = CachePlan(g, pmap, 4, 0.1, refresh_cap=safe["frame_caps"][0])
+    plan_b = CachePlan(g, pmap, 4, 0.1, refresh_cap=safe["frame_caps"][0])
+    slow = measure_split_capacities(g, g.train_nodes(), pmap, 4, fanouts,
+                                    48, num_batches=3, seed=5,
+                                    cache_plan=plan_a, fast=False)
+    fastc = measure_split_capacities(g, g.train_nodes(), pmap, 4, fanouts,
+                                     48, num_batches=3, seed=5,
+                                     cache_plan=plan_b, fast=True)
+    assert slow == fastc, (slow, fastc)
