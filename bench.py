@@ -255,14 +255,28 @@ def main():
     _arr = (ctypes.c_void_p * len(_ptrs))(*_ptrs)
     _nodes = stat_sampler.train_nodes
     _seq = ctypes.c_int64(-1)
-    for i in range(3):
+    NSTAT = 4
+    for i in range(NSTAT):
         stat_sampler._submit(np.ascontiguousarray(
             _nodes[i * batch_size:(i + 1) * batch_size], dtype=np.int64))
-    for _ in range(3):
+    assert stat_sampler._lib.occ_next(
+        stat_sampler._handle, _arr, ctypes.byref(_seq)) == 0
+    st0 = stat_sampler.stats()  # after the cold first batch
+    for _ in range(NSTAT - 1):
         assert stat_sampler._lib.occ_next(
             stat_sampler._handle, _arr, ctypes.byref(_seq)) == 0
-    host_stats = stat_sampler.stats()
+    st1 = stat_sampler.stats()
     stat_sampler.close()
+    # Warm per-batch stats: delta over the post-warmup batches (the first
+    # batch pays cold caches/TLB for the GB-scale tables and measured up
+    # to 2x the steady rate).
+    _n = max(st1["samples"] - st0["samples"], 1)
+    host_stats = {
+        k.replace("_total", "_per_batch"):
+            (st1[k] - st0[k]) / _n
+        for k in ("sample_s_total", "slice_s_total",
+                  "tail_gather_s_total")
+    }
 
     # Phase A: stage batches (host sampling + H2D; workers then go idle).
     NSTAGE = int(os.environ.get("OCC_BENCH_NSTAGE", 12))
