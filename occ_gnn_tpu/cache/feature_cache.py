@@ -50,6 +50,34 @@ class CachePlan:
         n = graph.num_nodes
         self.static_size = int(cache_percentage * n)
         self.static_nodes: list[np.ndarray] = []
+        # Full replication (cache_pct == 1.0, the HBM-auto-sized regime at
+        # products scale) uses IDENTITY frames: every partition caches the
+        # whole table at frame row == global id. Consequences the slicers
+        # exploit: every edge is natural (zero innermost-layer shuffle at
+        # any P), row lookups are O(1) identity instead of per-partition
+        # foreign-map binary searches, and the device can synthesize the
+        # innermost layer itself from a resident CSR (parallel/split.
+        # synthesize_device_innermost) because frame row == node id.
+        self.replicated = cache_percentage >= 1.0
+        if self.replicated:
+            self.needs_refresh = False
+            self.refresh_cap = 0
+            ident = np.arange(n, dtype=np.int64)
+            self.static_nodes = [ident] * num_partitions
+            self.owner_local = np.arange(n, dtype=np.int32)
+            self.foreign_nodes = [np.empty(0, np.int64)] * num_partitions
+            self.foreign_local = [np.empty(0, np.int32)] * num_partitions
+            self.static_sizes = np.full(num_partitions, n, dtype=np.int64)
+            self.tail_start = n
+            # +1: reserved dense-aggregation zero row (see below).
+            self.frame_cap = n + 1
+            self._dynamic = [np.empty(0, np.int64)
+                             for _ in range(num_partitions)]
+            self.static_owner_local = self.owner_local
+            self.foreign_offsets = np.zeros(num_partitions + 1, np.int64)
+            self.foreign_nodes_flat = np.empty(0, np.int64)
+            self.foreign_local_flat = np.empty(0, np.int32)
+            return
         self.needs_refresh = cache_percentage < (1.0 / num_partitions)
         if not self.needs_refresh:
             # cache >= 1/P: every owned node is statically cached, no
@@ -140,6 +168,8 @@ class CachePlan:
         """Elementwise: is node cached on partition (static region or the
         current dynamic tail)? Replaces the dense node_mask[N, P]."""
         nodes = np.asarray(nodes, dtype=np.int64)
+        if self.replicated:
+            return np.ones(nodes.shape, dtype=bool)
         parts = np.broadcast_to(np.asarray(parts), nodes.shape)
         res = (self.wmap[nodes] == parts) & (self.owner_local[nodes] >= 0)
         for p in range(self.P):
@@ -153,6 +183,8 @@ class CachePlan:
         """Elementwise frame row of node on partition (-1 if uncached).
         Replaces the dense global_to_local[N, P]."""
         nodes = np.asarray(nodes, dtype=np.int64)
+        if self.replicated:
+            return nodes.copy()
         parts = np.broadcast_to(np.asarray(parts), nodes.shape)
         out = np.where(
             self.wmap[nodes] == parts,
@@ -238,7 +270,12 @@ class SplitFeatureCache:
 
         self.plan = plan
         self.dtype = dtype or jnp.float32
-        frames = jnp.asarray(plan.static_features()).astype(self.dtype)
+        # Cast on the HOST so the one-time init upload carries the storage
+        # dtype (bf16 halves it — with an auto-sized full cache this is
+        # the whole feature table, the largest single transfer).
+        frames = jnp.asarray(
+            plan.static_features().astype(np.dtype(self.dtype))
+        )
         if sharding is not None:
             import jax
 

@@ -112,6 +112,20 @@ struct Config {
   int64_t feat_stride = 0;          // row stride in ELEMENTS (padded H)
   int32_t feat_cols = 0;            // columns to copy (true feature dim)
   int32_t feat_bf16 = 0;            // 1: cast to bf16; 0: copy f32
+  // Replicated identity cache (cache_pct == 1.0, HBM-auto-sized): every
+  // partition holds the whole feature table at frame row == global id.
+  // Every edge is natural (executes on its dst's owner — zero
+  // innermost-layer shuffle at any P) and src row lookup is the id
+  // itself (no owner_local walk / foreign binary search).
+  int32_t replicated = 0;
+  // Device-side innermost sampling (requires replicated): the deepest
+  // fanout expansion — the dominant host cost AND the dominant
+  // host->device payload (the [K_cap, D_cap] nbr matrix) — is skipped
+  // here; layer 0 emits ONLY dst_global (the would-be frontier's global
+  // ids in per-partition dst order) and the device synthesizes the
+  // neighbor matrix per step from a resident CSR
+  // (parallel/split.synthesize_device_innermost).
+  int32_t device_innermost = 0;
   inline bool local(int p) const { return p >= emit_lo && p < emit_hi; }
   inline int32_t n_emit() const { return emit_hi - emit_lo; }
   inline bool coo_out(int l) const {
@@ -146,6 +160,10 @@ struct Sample {
     // device aggregates with K_cap row-gathers instead of a scatter-add
     // (TPU scatter lowering is ~3.3x slower at production shapes).
     std::vector<int32_t> nbr;
+    // Device-innermost mode, layer 0 only: global ids of the dst frame
+    // rows in per-partition rank order [P * D_cap], pad -1 — the ONLY
+    // field emitted for that layer.
+    std::vector<int32_t> dst_global;
   };
   std::vector<Layer> layers;
   std::vector<int32_t> input_nodes;    // [P * F0_cap], pad -1
@@ -312,7 +330,19 @@ void Worker::sample_raw(const std::vector<int64_t>& batch) {
 
   const int64_t* frontier = frontier0_.data();
   int64_t n = (int64_t)frontier0_.size();
-  for (int d = 0; d < cfg_.L; d++) {
+  // Device-innermost: the deepest expansion is synthesized on the TPU
+  // from a resident CSR; skip it here (and clear the stale layer so the
+  // refresh/input loops over deepest.frame see an empty frame).
+  const int depths = cfg_.device_innermost ? cfg_.L - 1 : cfg_.L;
+  if (cfg_.device_innermost) {
+    LayerSample& last = layers_[cfg_.L - 1];
+    last.edges.clear();
+    last.counts.clear();
+    last.frame.clear();
+    last.frame_owner.clear();
+    last.frame_rank.clear();
+  }
+  for (int d = 0; d < depths; d++) {
     LayerSample& ls = layers_[d];
     ls.edges.clear();
     ls.counts.assign(n, 0);
@@ -443,6 +473,26 @@ bool Worker::slice_layer(int l, Sample* out) {
   const bool use_cache = (l == 0) && cfg_.owner_local != nullptr;
 
   Sample::Layer& L = out->layers[l];
+  if (l == 0 && cfg_.device_innermost) {
+    // The device synthesizes this layer from the resident CSR; emit only
+    // the dst frame's global ids in per-partition rank order.
+    const int PE0 = cfg_.n_emit();
+    const int LO0 = cfg_.emit_lo;
+    const int64_t* dst_ids =
+        d == 0 ? frontier0_.data() : layers_[d - 1].frame.data();
+    L.dst_global.assign((size_t)PE0 * D_cap, -1);
+    for (int64_t i = 0; i < n; i++) {
+      int p = dst_owner[i];
+      int32_t t = dst_rank[i];
+      if (t >= D_cap) {
+        out->error = 3;  // dst frame overflow
+        return false;
+      }
+      if (cfg_.local(p))
+        L.dst_global[(size_t)(p - LO0) * D_cap + t] = (int32_t)dst_ids[i];
+    }
+    return true;
+  }
   const int64_t K_cap = cfg_.deg_caps[l];
   // Sentinel: the src frame's RESERVED zero row (cache frames reserve
   // tail_start + refresh_cap; regular frames reserve frame_cap - 1).
@@ -504,16 +554,23 @@ bool Worker::slice_layer(int l, Sample* out) {
     src_route_.resize(fs);
     const int64_t* fr = ls.frame.data();
     const int32_t* fo = ls.frame_owner.data();  // = wmap[frame], no re-walk
-    for (size_t i = 0; i < fs; i++) {
-      if (i + 8 < fs) __builtin_prefetch(&cfg_.owner_local[fr[i + 8]]);
-      int64_t u = fr[i];
-      int32_t g = cfg_.owner_local[u];
-      int32_t row = g >= 0 ? g : tail_id_[u];
-      if (row < 0) {
-        out->error = 5;  // routed src missing from cache
-        return false;
+    if (cfg_.replicated) {
+      // Identity frames: row == global id on every partition; no
+      // owner_local walk, no tail, nothing can be missing.
+      for (size_t i = 0; i < fs; i++)
+        src_route_[i] = ((int64_t)fo[i] << 32) | (uint32_t)(int32_t)fr[i];
+    } else {
+      for (size_t i = 0; i < fs; i++) {
+        if (i + 8 < fs) __builtin_prefetch(&cfg_.owner_local[fr[i + 8]]);
+        int64_t u = fr[i];
+        int32_t g = cfg_.owner_local[u];
+        int32_t row = g >= 0 ? g : tail_id_[u];
+        if (row < 0) {
+          out->error = 5;  // routed src missing from cache
+          return false;
+        }
+        src_route_[i] = ((int64_t)fo[i] << 32) | (uint32_t)row;
       }
-      src_route_[i] = ((int64_t)fo[i] << 32) | (uint32_t)row;
     }
   }
 
@@ -552,15 +609,23 @@ bool Worker::slice_layer(int l, Sample* out) {
     int32_t src_local;
     if (use_cache) {
       int64_t r = src_route_[s];
-      p = route_part(r);
-      src_local = route_row(r);
-      if (have_foreign) {
-        int q = dst_owner[i];
-        if (q != p) {
-          int32_t frow = cfg_.foreign_row(ls.frame[s], q);
-          if (frow >= 0) {  // natural edge: src cached on dst's partition
-            p = q;
-            src_local = frow;
+      if (cfg_.replicated) {
+        // Every edge is natural: the src row (== its global id) exists in
+        // every partition's frame, so execute on the dst's owner — zero
+        // foreign rows, zero shuffle for this layer at any P.
+        p = dst_owner[i];
+        src_local = route_row(r);
+      } else {
+        p = route_part(r);
+        src_local = route_row(r);
+        if (have_foreign) {
+          int q = dst_owner[i];
+          if (q != p) {
+            int32_t frow = cfg_.foreign_row(ls.frame[s], q);
+            if (frow >= 0) {  // natural edge: src cached on dst's partition
+              p = q;
+              src_local = frow;
+            }
           }
         }
       }
@@ -906,7 +971,8 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
                  int32_t sample_replace, int32_t emit_lo, int32_t emit_hi,
                  int32_t emit_coo, int32_t emit_input,
                  const float* features, int64_t feat_stride,
-                 int32_t feat_cols, int32_t feat_bf16) {
+                 int32_t feat_cols, int32_t feat_bf16,
+                 int32_t replicated, int32_t device_innermost) {
   Service* svc = new Service();
   Config& c = svc->cfg;
   c.num_nodes = num_nodes;
@@ -939,6 +1005,8 @@ void* occ_create(int64_t num_nodes, const int64_t* indptr,
   c.feat_stride = feat_stride;
   c.feat_cols = feat_cols;
   c.feat_bf16 = feat_bf16;
+  c.replicated = replicated;
+  c.device_innermost = device_innermost;
   svc->seed = seed;
   svc->work = std::make_unique<BoundedQueue<WorkItem>>(
       queue_depth > 0 ? queue_depth : 4);
@@ -958,7 +1026,8 @@ void occ_submit(void* handle, const int64_t* nodes, int64_t n, int64_t seq) {
 }
 
 // Blocking: pop one finished sample and copy it into caller buffers.
-// `field_ptrs` order: per layer l in [0,L): edge_src, edge_dst (only when
+// `field_ptrs` order: per layer l in [0,L): dst_global ONLY when
+// (l == 0 && device_innermost); else edge_src, edge_dst (only when
 // coo_out(l) — i.e. emit_coo or no dense nbr), push, recv, owned_idx,
 // owned_deg(float), self_idx, owned_mask(uint8), num_owned, nbr (only
 // when deg_caps[l] > 0); then input_nodes (only when emit_input),
@@ -977,6 +1046,10 @@ int32_t occ_next(void* handle, void** field_ptrs, int64_t* seq_out) {
       auto cp = [&](const void* src, size_t bytes) {
         std::memcpy(field_ptrs[f++], src, bytes);
       };
+      if (l == 0 && c.device_innermost) {
+        cp(L.dst_global.data(), L.dst_global.size() * 4);
+        continue;
+      }
       if (c.coo_out(l)) {
         cp(L.edge_src.data(), L.edge_src.size() * 4);
         cp(L.edge_dst.data(), L.edge_dst.size() * 4);

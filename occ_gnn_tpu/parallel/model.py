@@ -35,7 +35,51 @@ from occ_gnn_tpu.parallel.split import (
     shuffle_merge,
     shuffle_softmax_merge,
     slice_owned,
+    synthesize_device_innermost,
 )
+
+
+def make_device_csr(graph):
+    """Device-resident CSR for device-innermost sampling: (indptr, indices)
+    as i32 jax arrays (i32 offsets bound the graph to < 2^31 edges; at
+    products scale the pair is ~255 MB of HBM). Pass the result to
+    ``make_split_train_step(..., csr=...)`` / ``make_split_forward``."""
+    import numpy as np
+
+    if graph.num_edges >= 2**31 or graph.num_nodes >= 2**31:
+        raise ValueError(
+            "device-innermost sampling keeps the CSR on device as int32: "
+            f"graph has {graph.num_edges} edges / {graph.num_nodes} nodes "
+            "(>= 2^31) — use the host innermost path"
+        )
+    return (
+        jnp.asarray(np.asarray(graph.indptr, dtype=np.int32)),
+        jnp.asarray(np.asarray(graph.indices, dtype=np.int32)),
+    )
+
+
+def _materialize_layers(layers_l, csr, sample_rng):
+    """Synthesize device-sampled layers (trace-time no-op for host-built
+    ones). Layers are UNSTACKED (per device)."""
+    out = []
+    for i, lyr in enumerate(layers_l):
+        if lyr.dst_global is not None and lyr.nbr_idx is None:
+            if csr is None:
+                raise ValueError(
+                    "batch has a device-sampled layer but the step was "
+                    "built without csr= (make_device_csr(graph))"
+                )
+            if sample_rng is None:
+                raise ValueError(
+                    "device-sampled layers need sample_rng= on every step "
+                    "call (a fresh fold per step keeps draws independent)"
+                )
+            out.append(synthesize_device_innermost(
+                lyr, csr[0], csr[1], jax.random.fold_in(sample_rng, i)
+            ))
+        else:
+            out.append(lyr)
+    return out
 
 
 def _unstack(tree):
@@ -73,7 +117,9 @@ class SplitSAGE:
 
     def layer(self, params, lyr: SplitLayer, x: jax.Array) -> jax.Array:
         neigh = aggregate(x, lyr)
-        if lyr.push_idx.shape[0] > 1:  # P == 1: no foreign edges exist
+        # push_idx None: layer carries no foreign rows at all (replicated
+        # cache / device-synthesized innermost); P == 1: none can exist.
+        if lyr.push_idx is not None and lyr.push_idx.shape[0] > 1:
             merged = shuffle_merge(neigh, lyr.push_idx, lyr.recv_idx)
         else:
             merged = neigh
@@ -117,7 +163,7 @@ class SplitGCN(SplitSAGE):
 
     def layer(self, params, lyr: SplitLayer, x: jax.Array) -> jax.Array:
         neigh = aggregate(x, lyr)
-        if lyr.push_idx.shape[0] > 1:
+        if lyr.push_idx is not None and lyr.push_idx.shape[0] > 1:
             merged = shuffle_merge(neigh, lyr.push_idx, lyr.recv_idx)
         else:
             merged = neigh
@@ -181,7 +227,8 @@ class SplitGAT:
         er_frame = jnp.zeros((dst_cap, k), er_own.dtype)
         tgt = jnp.where(lyr.owned_idx < 0, dst_cap, lyr.owned_idx)
         er_frame = er_frame.at[tgt].set(er_own, mode="drop")
-        multi = lyr.push_idx.shape[0] > 1  # P == 1: no foreign rows exist
+        multi = (lyr.push_idx is not None
+                 and lyr.push_idx.shape[0] > 1)  # None/P==1: no foreign rows
         if multi:
             er_frame = reverse_shuffle(
                 er_frame, lyr.push_idx, lyr.recv_idx, dst_cap
@@ -441,11 +488,13 @@ def _check_dropout_rng(model, rng):
         )
 
 
-def _make_split_train_step_single(model, optimizer):
+def _make_split_train_step_single(model, optimizer, csr=None):
     @jax.jit
-    def step(params, opt_state, batch: SplitBatch, x0, rng=None):
+    def step(params, opt_state, batch: SplitBatch, x0, rng=None,
+             sample_rng=None):
         _check_dropout_rng(model, rng)
         layers_l = [_unstack(l) for l in batch.layers]
+        layers_l = _materialize_layers(layers_l, csr, sample_rng)
 
         def loss_fn(prm):
             logits = model.forward_local(prm, layers_l, x0[0], rng=rng)
@@ -462,19 +511,28 @@ def _make_split_train_step_single(model, optimizer):
     return step
 
 
-def make_split_forward(model, mesh):
-    """jit'd sharded inference: returns per-partition logits [P, T_cap, C]."""
+def make_split_forward(model, mesh, csr=None):
+    """jit'd sharded inference: returns per-partition logits [P, T_cap, C].
+
+    ``csr`` (from make_device_csr) enables batches with device-sampled
+    innermost layers; such calls must pass ``sample_rng``."""
     if mesh.devices.size == 1:
 
         @jax.jit
-        def fwd_single(params, batch: SplitBatch, x0):
+        def fwd_single(params, batch: SplitBatch, x0, sample_rng=None):
             layers_l = [_unstack(l) for l in batch.layers]
+            layers_l = _materialize_layers(layers_l, csr, sample_rng)
             return model.forward_local(params, layers_l, x0[0])[None]
 
         return fwd_single
 
-    def body(params, layers, x0):
+    def body(params, layers, x0, sample_rng=None):
         layers_l = [_unstack(l) for l in layers]
+        if csr is not None and sample_rng is not None:
+            sample_rng = jax.random.fold_in(
+                sample_rng, jax.lax.axis_index("p")
+            )
+        layers_l = _materialize_layers(layers_l, csr, sample_rng)
         logits = model.forward_local(params, layers_l, x0[0])
         return logits[None]
 
@@ -485,31 +543,51 @@ def make_split_forward(model, mesh):
         out_specs=P("p"),
         check_vma=False,
     )
+    mapped_sampled = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P("p"), P("p"), P()),
+        out_specs=P("p"),
+        check_vma=False,
+    )
 
     @jax.jit
-    def fwd(params, batch: SplitBatch, x0):
-        return mapped(params, batch.layers, x0)
+    def fwd(params, batch: SplitBatch, x0, sample_rng=None):
+        if sample_rng is None:
+            return mapped(params, batch.layers, x0)
+        return mapped_sampled(params, batch.layers, x0, sample_rng)
 
     return fwd
 
 
-def make_split_train_step(model, optimizer, mesh):
+def make_split_train_step(model, optimizer, mesh, csr=None):
     """jit'd sharded train step: forward, psum'd loss, backward (param grads
     psum'd by the shard_map transpose), optimizer update.
 
     A 1-device mesh compiles without shard_map (psum over a singleton axis
     is the identity) — same numerics, none of the SPMD overhead.
+
+    ``csr`` (from make_device_csr) enables device-innermost sampling:
+    batches whose layer 0 carries only dst_global are completed on device
+    per step; such calls must pass ``sample_rng`` (train.py folds one per
+    global step).
     """
     if mesh.devices.size == 1:
-        return _make_split_train_step_single(model, optimizer)
+        return _make_split_train_step_single(model, optimizer, csr=csr)
 
-    def make_loss_body(with_rng: bool):
-        def loss_body(params, layers, labels, x0, rng=None):
+    def make_loss_body(with_rng: bool, with_sample: bool):
+        def loss_body(params, layers, labels, x0, rng=None,
+                      sample_rng=None):
             layers_l = [_unstack(l) for l in layers]
             if with_rng:
                 # Distinct dropout stream per partition (each device masks
                 # its own activation rows).
                 rng = jax.random.fold_in(rng, jax.lax.axis_index("p"))
+            if with_sample:
+                sample_rng = jax.random.fold_in(
+                    sample_rng, jax.lax.axis_index("p")
+                )
+                layers_l = _materialize_layers(layers_l, csr, sample_rng)
             logits = model.forward_local(params, layers_l, x0[0], rng=rng)
             nll, cnt, correct = _local_ce(logits, labels[0])
             nll = jax.lax.psum(nll, "p")
@@ -520,30 +598,43 @@ def make_split_train_step(model, optimizer, mesh):
 
         return loss_body
 
-    mapped = jax.shard_map(
-        make_loss_body(False),
-        mesh=mesh,
-        in_specs=(P(), P("p"), P("p"), P("p")),
-        out_specs=(P(), (P(), P())),
-        check_vma=False,
-    )
-    mapped_rng = jax.shard_map(
-        make_loss_body(True),
-        mesh=mesh,
-        in_specs=(P(), P("p"), P("p"), P("p"), P()),
-        out_specs=(P(), (P(), P())),
-        check_vma=False,
-    )
+    def make_mapped(with_rng: bool, with_sample: bool):
+        specs = [P(), P("p"), P("p"), P("p")]
+        body = make_loss_body(with_rng, with_sample)
+        if with_rng and with_sample:
+            fn = body
+            specs += [P(), P()]
+        elif with_rng:
+            fn = lambda prm, ly, lb, x, r: body(prm, ly, lb, x, rng=r)
+            specs += [P()]
+        elif with_sample:
+            fn = lambda prm, ly, lb, x, s: body(prm, ly, lb, x,
+                                                sample_rng=s)
+            specs += [P()]
+        else:
+            fn = body
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=tuple(specs),
+            out_specs=(P(), (P(), P())), check_vma=False,
+        )
+
+    mapped = {
+        (wr, ws): make_mapped(wr, ws)
+        for wr in (False, True)
+        for ws in ((False, True) if csr is not None else (False,))
+    }
 
     @jax.jit
-    def step(params, opt_state, batch: SplitBatch, x0, rng=None):
+    def step(params, opt_state, batch: SplitBatch, x0, rng=None,
+             sample_rng=None):
         _check_dropout_rng(model, rng)
-        if rng is None:
-            fn = lambda prm: mapped(prm, batch.layers, batch.labels, x0)
-        else:
-            fn = lambda prm: mapped_rng(
-                prm, batch.layers, batch.labels, x0, rng
-            )
+        wr, ws = rng is not None, sample_rng is not None
+        args = [batch.layers, batch.labels, x0]
+        if wr:
+            args.append(rng)
+        if ws:
+            args.append(sample_rng)
+        fn = lambda prm: mapped[(wr, ws)](prm, *args)
         (loss, (correct, cnt)), grads = jax.value_and_grad(
             fn, has_aux=True
         )(params)

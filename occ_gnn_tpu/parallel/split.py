@@ -72,9 +72,22 @@ class SplitLayer:
     # sorted scatter-add lowering runs ~3.3x slower than this gather-only
     # form at production shapes (see local_aggregate_dense).
     nbr_idx: jax.Array | None = None
+    # Device-innermost mode (layer 0 under a replicated cache): the ONLY
+    # staged array is dst_global i32[P, D_cap] (global ids of the dst
+    # frame rows, pad=-1); every other field above is None and
+    # ``synthesize_device_innermost`` builds them per step from a
+    # device-resident CSR. With identity frames (CachePlan.replicated)
+    # a global id IS the src frame row, so the synthesized nbr gathers
+    # straight from the cache frame.
+    dst_global: jax.Array | None = None
     src_cap: int = static()
     dst_cap: int = static()
     out_cap: int = static()
+    fanout: int = static()  # sampling fanout (device-innermost synthesis)
+
+    @property
+    def device_sampled(self) -> bool:
+        return self.dst_global is not None and self.nbr_idx is None
 
 
 @jax.tree_util.register_dataclass
@@ -175,6 +188,68 @@ def local_aggregate_dense(x: jax.Array, nbr_idx: jax.Array):
     for k in range(1, K):
         acc = acc + x[nbr_idx[k]].astype(jnp.float32)
     return acc
+
+
+def synthesize_device_innermost(
+    lyr: "SplitLayer",
+    indptr: jax.Array,
+    indices: jax.Array,
+    key: jax.Array,
+) -> "SplitLayer":
+    """Build the innermost layer ON DEVICE from a resident CSR.
+
+    TPU-first replacement for shipping the [K_cap, D_cap] neighbor
+    matrix from the host every batch (it was 84% of the measured
+    per-batch arena at products scale): the host emits only the dst
+    frame's global ids; this synthesizes, inside the jitted step, the
+    same sample the C++ worker would have built — self slot first, then
+    ``min(deg, fanout)`` neighbors (ALL of them in adjacency order when
+    deg <= fanout, exactly like the host path, so low-degree graphs are
+    bit-identical; uniform draws WITH replacement otherwise, matching
+    the reference slicer's rand%deg, /root/reference/cslicer/slicer.cpp).
+
+    Requires a replicated identity cache (frame row == global id) so the
+    synthesized rows index the cache frame directly; under replication
+    every edge is natural, so the layer carries no shuffle (push/recv
+    None) and every dst row is owned in rank order.
+
+    Call per device (inside shard_map) with UNSTACKED arrays; indptr /
+    indices are the full-graph CSR as i32 (replicated across the mesh).
+    """
+    dg = lyr.dst_global  # [D_cap] i32, pad -1
+    D = dg.shape[0]
+    K = lyr.fanout
+    assert K > 0, "device-innermost synthesis needs a bounded fanout"
+    valid = dg >= 0
+    g = jnp.maximum(dg, 0)
+    off = indptr[g]
+    deg = jnp.where(valid, indptr[g + 1] - off, 0)
+    take = jnp.minimum(deg, K)
+    kr = jnp.arange(K, dtype=jnp.int32)[:, None]
+    draws = jax.random.randint(
+        key, (K, D), 0, jnp.maximum(deg, 1)[None, :], dtype=jnp.int32
+    )
+    sel = jnp.where(deg[None, :] > K, draws, kr)
+    src = indices[off[None, :] + sel]
+    zero_row = lyr.src_cap - 1  # reserved zero row of the cache frame
+    nbr_main = jnp.where(kr < take[None, :], src, zero_row)
+    self_rows = jnp.where(valid, g, zero_row).astype(jnp.int32)
+    nbr = jnp.concatenate([self_rows[None, :], nbr_main], axis=0)
+    O = lyr.out_cap
+    v = valid[:O]
+    ar = jnp.arange(O, dtype=jnp.int32)
+    return SplitLayer(
+        owned_idx=jnp.where(v, ar, -1),
+        owned_deg=jnp.where(v, (take[:O] + 1).astype(jnp.float32), 1.0),
+        self_idx=jnp.where(v, g[:O].astype(jnp.int32), 0),
+        owned_mask=v,
+        num_owned=valid.sum().astype(jnp.int32),
+        nbr_idx=nbr,
+        src_cap=lyr.src_cap,
+        dst_cap=lyr.dst_cap,
+        out_cap=O,
+        fanout=K,
+    )
 
 
 def aggregate(x: jax.Array, lyr: "SplitLayer"):

@@ -73,6 +73,8 @@ def load_library():
         ctypes.c_int64,  # feat_stride (elements)
         ctypes.c_int32,  # feat_cols (true feature dim)
         ctypes.c_int32,  # feat_bf16
+        ctypes.c_int32,  # replicated (identity cache frames)
+        ctypes.c_int32,  # device_innermost (emit dst_global only for l0)
     ]
     lib.occ_submit.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                ctypes.c_int64, ctypes.c_int64]
@@ -138,6 +140,7 @@ class NativeSplitSampler:
         emit_coo: bool | None = None,
         emit_input: bool | None = None,
         gather_tail: bool | None = None,
+        innermost: str = "host",
     ):
         self.graph = graph
         self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
@@ -163,6 +166,42 @@ class NativeSplitSampler:
         self.cache = cache
         plan = getattr(cache, "plan", cache)
         self.cache_plan = plan
+        self.replicated = bool(plan is not None
+                               and getattr(plan, "replicated", False))
+        # Device-innermost sampling (SplitLayer.dst_global contract): the
+        # deepest fanout expansion — the dominant host cost and ~84% of
+        # the measured per-batch arena at products scale — moves into the
+        # jitted step (parallel/split.synthesize_device_innermost). Needs
+        # identity frames (replicated cache), with-replacement semantics,
+        # and a bounded innermost fanout.
+        if innermost not in ("host", "device"):
+            raise ValueError(f"innermost must be host|device, got {innermost}")
+        self.device_innermost = innermost == "device"
+        if self.device_innermost:
+            if not self.replicated:
+                raise ValueError(
+                    "innermost='device' needs a fully replicated cache "
+                    "(cache_percentage == 1.0 — use --cache-per auto; "
+                    "frame row == global id is what lets the device "
+                    "gather straight from the frame)"
+                )
+            if not replace:
+                raise ValueError(
+                    "innermost='device' implements the reference's "
+                    "with-replacement draws; use replace=True"
+                )
+            if self.fanouts[-1] <= 0:
+                raise ValueError(
+                    "innermost='device' needs a bounded innermost fanout"
+                )
+            # All dst rows are owned under replication (every edge is
+            # natural, no foreign dst rows), so the owned cap — which also
+            # chains to layer 1's input frame (out_caps[l] ==
+            # frame_caps[l+1]) — is the binding bound; shrinking dst to it
+            # shrinks dst_global and the on-device synthesis.
+            self.caps = dict(self.caps)
+            self.caps["dst_caps"] = list(self.caps["dst_caps"])
+            self.caps["dst_caps"][0] = self.caps["out_caps"][0]
 
         lib = load_library()
         # Keep every array passed by pointer alive on self.
@@ -296,6 +335,8 @@ class NativeSplitSampler:
             feat_stride,
             feat_cols,
             self._feat_bf16,
+            1 if self.replicated else 0,
+            1 if self.device_innermost else 0,
         )
         self._lib = lib
         self._closed = False
@@ -355,6 +396,11 @@ class NativeSplitSampler:
         fields = []
         deg_caps = self.caps["deg_caps"]
         for l in range(L):
+            if l == 0 and self.device_innermost:
+                fields.append({"dst_global": np.empty(
+                    (PE, caps["dst_caps"][0]), np.int32
+                )})
+                continue
             E, S, O = caps["edge_caps"][l], caps["shuffle_caps"][l], caps["out_caps"][l]
             f = {}
             if self._coo_l[l]:
@@ -442,6 +488,11 @@ class NativeSplitSampler:
 
         deg_caps = caps["deg_caps"]
         for l in range(L):
+            if l == 0 and self.device_innermost:
+                # One field: the dst frame's global ids — the device
+                # synthesizes everything else from the resident CSR.
+                add("dst_global", 0, (PE, caps["dst_caps"][0]), "i32")
+                continue
             E = caps["edge_caps"][l]
             S = caps["shuffle_caps"][l]
             O = caps["out_caps"][l]
@@ -496,10 +547,21 @@ class NativeSplitSampler:
 
         coo_l = self._coo_l
         emit_input = self.emit_input
+        device_innermost = self.device_innermost
+        fanouts = self.fanouts  # sampling order: model layer l <- L-1-l
 
         def unpack(arena, labels_all):
             layers = []
             for l in range(L):
+                if l == 0 and device_innermost:
+                    layers.append(SplitLayer(
+                        dst_global=field(arena, "dst_global", 0),
+                        src_cap=src_cap0,
+                        dst_cap=caps["dst_caps"][0],
+                        out_cap=caps["out_caps"][0],
+                        fanout=fanouts[-1],
+                    ))
+                    continue
                 layers.append(SplitLayer(
                     edge_src=(field(arena, "edge_src", l)
                               if coo_l[l] else None),
@@ -517,6 +579,7 @@ class NativeSplitSampler:
                     src_cap=(src_cap0 if l == 0 else caps["frame_caps"][l]),
                     dst_cap=caps["dst_caps"][l],
                     out_cap=caps["out_caps"][l],
+                    fanout=fanouts[L - 1 - l],
                 ))
             targets = field(arena, "targets", None)
             # labels looked up on device from the resident label table
@@ -575,8 +638,9 @@ class NativeSplitSampler:
 
         fields, extra = self._alloc_fields()
         ptrs = []
-        order = ["edge_src", "edge_dst", "push", "recv", "owned_idx",
-                 "owned_deg", "self_idx", "owned_mask", "num_owned", "nbr"]
+        order = ["dst_global", "edge_src", "edge_dst", "push", "recv",
+                 "owned_idx", "owned_deg", "self_idx", "owned_mask",
+                 "num_owned", "nbr"]
         for layer in fields:
             for k in order:
                 if k in layer:
@@ -599,6 +663,15 @@ class NativeSplitSampler:
         caps = self.caps
         layers = []
         for l, f in enumerate(fields):
+            if "dst_global" in f:
+                layers.append(SplitLayer(
+                    dst_global=jnp.asarray(f["dst_global"]),
+                    src_cap=self.cache_plan.frame_cap,
+                    dst_cap=caps["dst_caps"][0],
+                    out_cap=caps["out_caps"][0],
+                    fanout=self.fanouts[-1],
+                ))
+                continue
             layers.append(SplitLayer(
                 edge_src=(jnp.asarray(f["edge_src"])
                           if "edge_src" in f else None),
@@ -616,6 +689,7 @@ class NativeSplitSampler:
                          else caps["frame_caps"][l]),
                 dst_cap=caps["dst_caps"][l],
                 out_cap=caps["out_caps"][l],
+                fanout=self.fanouts[len(self.fanouts) - 1 - l],
             ))
         targets = extra["targets"]
         labels = np.where(

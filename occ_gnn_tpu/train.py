@@ -37,7 +37,12 @@ def build_argparser() -> argparse.ArgumentParser:
                             "infer"])
     p.add_argument("--model-name", type=str, default="sage",
                    choices=["sage", "gcn", "gat"])
-    p.add_argument("--cache-per", type=float, default=0.0)
+    p.add_argument("--cache-per", type=str, default="0",
+                   help="feature-cache fraction of the graph (reference "
+                        "memory_manager knob), or 'auto' to size the "
+                        "cache to the chip's free HBM (cache/autosize.py "
+                        "— at products scale the whole table fits and "
+                        "the per-batch refresh tail disappears)")
     p.add_argument("--fan-out", type=str, default="10,10,25")
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--num-hidden", type=int, default=256)
@@ -52,6 +57,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", type=str, default="native",
                    choices=["native", "numpy"],
                    help="split-mode sampler backend (native = pipelined C++)")
+    p.add_argument("--innermost", type=str, default="auto",
+                   choices=["auto", "host", "device"],
+                   help="where the innermost fanout expansion runs: "
+                        "'device' samples it inside the jitted step from "
+                        "a resident CSR (needs the native sampler and a "
+                        "fully replicated cache, e.g. --cache-per auto at "
+                        "products scale) — the arena payload and host "
+                        "sampling cost both drop ~5x; 'auto' picks device "
+                        "whenever eligible")
     p.add_argument("--measure-caps", action="store_true",
                    help="measure padding capacities from a few batches "
                         "instead of worst-case planning")
@@ -353,13 +367,23 @@ def train_split(args, g, fanouts, timers):
         safe_caps = plan_split_capacities(
             args.batch_size, fanouts, g.num_nodes, P
         )
+        from occ_gnn_tpu.cache.autosize import resolve_cache_percentage
+
+        cache_pct = resolve_cache_percentage(
+            args.cache_per, g, pmap, P,
+            dtype_bytes=2 if args.dtype == "bfloat16" else 4,
+            refresh_cap=safe_caps["frame_caps"][0],
+        )
+        if args.cache_per == "auto":
+            print(f"cache auto-sized to {cache_pct:.4f} of the graph "
+                  f"({'no per-batch refresh' if cache_pct >= 1.0 / P else 'refreshing'})")
         if args.measure_caps:
             # Measure with the cache policy active — it changes where the
             # innermost layer's edges execute, hence the per-field maxima.
             probe_plan = None
-            if args.cache_per > 0:
+            if cache_pct > 0:
                 probe_plan = CachePlan(
-                    g, pmap, P, args.cache_per,
+                    g, pmap, P, cache_pct,
                     refresh_cap=safe_caps["frame_caps"][0],
                 )
             caps = measure_split_capacities(
@@ -368,12 +392,12 @@ def train_split(args, g, fanouts, timers):
             )
         else:
             caps = dict(safe_caps)
-    if args.cache_per > 0:
+    if cache_pct > 0:
         refresh_cap = max(caps.pop("refresh_cap", 0), 8) \
             if args.measure_caps else safe_caps["frame_caps"][0]
         import jax.numpy as jnp
 
-        plan = CachePlan(g, pmap, P, args.cache_per, refresh_cap=refresh_cap)
+        plan = CachePlan(g, pmap, P, cache_pct, refresh_cap=refresh_cap)
         fdtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
         if multihost:
             cache = MultiHostFeatureCache(plan, mesh, dtype=fdtype)
@@ -381,6 +405,34 @@ def train_split(args, g, fanouts, timers):
             cache = SplitFeatureCache(plan, dtype=fdtype)
     else:
         caps.pop("refresh_cap", None)
+
+    # Device-innermost sampling eligibility (parallel/split.
+    # synthesize_device_innermost): native sampler + fully replicated
+    # cache + with-replacement draws + bounded innermost fanout.
+    eligible_device = (
+        args.sampler == "native"
+        and cache is not None
+        and getattr(cache.plan, "replicated", False)
+        and not args.sample_without_replacement
+        and fanouts[-1] > 0
+        and g.num_edges < 2**31
+    )
+    innermost = args.innermost
+    if innermost == "auto":
+        innermost = "device" if eligible_device else "host"
+    elif innermost == "device" and not eligible_device:
+        raise SystemExit(
+            "--innermost device needs --sampler native, a fully "
+            "replicated cache (--cache-per auto/1.0), with-replacement "
+            "sampling, a bounded innermost fanout, and < 2^31 edges"
+        )
+    csr = None
+    if innermost == "device":
+        from occ_gnn_tpu.parallel.model import make_device_csr
+
+        csr = make_device_csr(g)
+        print("innermost layer: device-sampled from resident CSR")
+
     def build_sampler(caps, nodes=None, seed=None):
         nodes = _train_nodes(args, g) if nodes is None else nodes
         seed = args.seed if seed is None else seed
@@ -393,6 +445,7 @@ def train_split(args, g, fanouts, timers):
                 num_workers=args.num_workers,
                 replace=not args.sample_without_replacement,
                 emit_range=(lo, hi) if multihost else None,
+                innermost=innermost,
             )
         else:
             inner = SplitSampler(g, nodes, pmap, P, fanouts,
@@ -417,7 +470,7 @@ def train_split(args, g, fanouts, timers):
             args.resume, params, opt_state
         )
         print(f"resumed from {args.resume} at epoch {start_epoch}")
-    step = make_split_train_step(model, opt, mesh)
+    step = make_split_train_step(model, opt, mesh, csr=csr)
 
     acc = loss_v = 0.0
     profiling = False
@@ -430,6 +483,9 @@ def train_split(args, g, fanouts, timers):
     # every step (and every resume) draws a fresh mask.
     drop_key = (jax.random.PRNGKey(args.seed ^ 0x5EED)
                 if args.dropout > 0 else None)
+    # Device-innermost sampling stream (independent of dropout).
+    sample_key = (jax.random.PRNGKey(args.seed ^ 0xD0C5)
+                  if csr is not None else None)
     gstep = 0
     epoch = start_epoch
     replans = 0
@@ -460,6 +516,8 @@ def train_split(args, g, fanouts, timers):
                         params, opt_state, batch, xs,
                         rng=(jax.random.fold_in(drop_key, gstep)
                              if drop_key is not None else None),
+                        sample_rng=(jax.random.fold_in(sample_key, gstep)
+                                    if sample_key is not None else None),
                     )
                 gstep += 1
                 pending = (loss, c, t)
@@ -521,7 +579,9 @@ def train_split(args, g, fanouts, timers):
     if args.eval and g.val_mask is not None:
         from occ_gnn_tpu.parallel.model import make_split_forward
 
-        fwd = make_split_forward(model, mesh)
+        fwd = make_split_forward(model, mesh, csr=csr)
+        ev_key = jax.random.PRNGKey(args.seed + 13)
+        ev_step = 0
         for split_name, mask in (("val", g.val_mask), ("test", g.test_mask)):
             nodes = np.nonzero(mask)[0]
             # Same sampler backend as training (native C++ service or numpy)
@@ -534,7 +594,13 @@ def train_split(args, g, fanouts, timers):
                 else:
                     xs = _gather_xs(g, batch, P, multihost,
                                     mesh if multihost else None)
-                logits = fwd(params, batch, xs)
+                if csr is not None:
+                    logits = fwd(params, batch, xs,
+                                 sample_rng=jax.random.fold_in(
+                                     ev_key, ev_step))
+                    ev_step += 1
+                else:
+                    logits = fwd(params, batch, xs)
                 # jnp ops throughout: labels/logits are global sharded
                 # arrays under --distributed (not host-readable via numpy).
                 labels = batch.labels
@@ -698,8 +764,17 @@ def train_single(args, g, fanouts, timers, use_cache: bool):
                               capacities=caps, seed=args.seed)
     cache = None
     if use_cache:
-        pct = args.cache_per if args.cache_per > 0 else 0.25
-        cache = SingleChipCache(g, pct, sampler.caps["frame_caps"][0])
+        from occ_gnn_tpu.cache.autosize import resolve_cache_percentage
+
+        pct = resolve_cache_percentage(
+            args.cache_per, g, np.zeros(g.num_nodes, np.int32), 1,
+            dtype_bytes=2 if args.dtype == "bfloat16" else 4,
+            refresh_cap=0,
+        )
+        if pct <= 0:
+            pct = 0.25  # the reference pa_cache default
+        cache = SingleChipCache(g, min(pct, 1.0),
+                                sampler.caps["frame_caps"][0])
     rng = jax.random.PRNGKey(args.seed)
     acc = loss_v = 0.0
     for epoch in range(args.num_epochs):

@@ -153,7 +153,8 @@ def test_emit_range_rows_bit_identical(small_graph):
             out.append({
                 f.name: np.asarray(getattr(lyr, f.name))
                 for f in dataclasses.fields(lyr)
-                if f.name not in ("src_cap", "dst_cap", "out_cap")
+                if f.name not in ("src_cap", "dst_cap", "out_cap",
+                                  "fanout")
                 and getattr(lyr, f.name) is not None
             })
         return b, out
@@ -247,7 +248,7 @@ def test_emit_range_end_to_end_matches_replicated(small_graph):
         for fdef in dataclasses.fields(l0):
             v0 = getattr(l0, fdef.name)
             v1 = getattr(l1, fdef.name)
-            if fdef.name in ("src_cap", "dst_cap", "out_cap"):
+            if fdef.name in ("src_cap", "dst_cap", "out_cap", "fanout"):
                 kw[fdef.name] = v0
             elif v0 is None:
                 kw[fdef.name] = None
