@@ -211,9 +211,24 @@ def main():
     plan = CachePlan(g, pmap, P, cache_pct,
                      refresh_cap=max(caps.pop("refresh_cap", 8), 8))
     cache = SplitFeatureCache(plan, dtype=dtype)
+    # Innermost sampling placement: 'device' (jit-synthesized from a
+    # resident CSR — needs the replicated auto-sized cache) or 'host'
+    # (C++ builds + ships the [K_cap, D_cap] nbr matrix). auto = device
+    # whenever eligible. OCC_BENCH_INNERMOST overrides.
+    innermost = os.environ.get("OCC_BENCH_INNERMOST", "auto")
+    if innermost == "auto":
+        innermost = "device" if plan.replicated else "host"
+    csr = None
+    sample_key = None
+    if innermost == "device":
+        from occ_gnn_tpu.parallel.model import make_device_csr
+
+        csr = make_device_csr(g)
+        sample_key = jax.random.PRNGKey(42)
     sampler = NativeSplitSampler(
         g, g.train_nodes(), pmap, P, fanouts, batch_size,
         capacities=caps, seed=0, cache=cache, num_workers=1, drop_last=True,
+        innermost=innermost,
     )
 
     mesh = make_mesh(P)
@@ -230,7 +245,15 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
-    step = make_split_train_step(model, opt, mesh)
+    step = make_split_train_step(model, opt, mesh, csr=csr)
+    caps_used = dict(sampler.caps)  # device mode shrinks dst_caps[0]
+    _sstep = [0]
+
+    def _srng():
+        if sample_key is None:
+            return None
+        _sstep[0] += 1
+        return jax.random.fold_in(sample_key, _sstep[0])
 
     verbose = "--verbose" in sys.argv
 
@@ -252,7 +275,7 @@ def main():
     stat_sampler = NativeSplitSampler(
         g, g.train_nodes(), pmap, P, fanouts, batch_size,
         capacities=caps, seed=2, cache=_StatsSink(cache.plan, dtype),
-        num_workers=1, drop_last=True,
+        num_workers=1, drop_last=True, innermost=innermost,
     )
     stat_sampler._build_layout()
     _arena = np.empty(stat_sampler._arena_words, np.int32)
@@ -293,25 +316,38 @@ def main():
     t0 = time.perf_counter()
     staged = []
     edges_per_batch = []
+    indeg = None
+    if innermost == "device":
+        # layer 0 exists only as dst_global host-side; its edge count is
+        # sum(min(deg, fanout) + 1) over valid dsts (the exact count the
+        # device synthesis materializes).
+        indeg = np.diff(np.asarray(g.indptr))
     for _ in range(NSTAGE):
         batch = next(it)
         staged.append((batch, cache.frames))
-        edges_per_batch.append(sum(
-            count_layer_edges(l) for l in batch.layers
-        ))
+        n_edges = sum(count_layer_edges(l) for l in batch.layers
+                      if not l.device_sampled)
+        if innermost == "device":
+            l0 = batch.layers[0]
+            dg = np.asarray(l0.dst_global).ravel()
+            dg = dg[dg >= 0]
+            n_edges += int(np.minimum(indeg[dg], l0.fanout).sum()
+                           + dg.shape[0])
+        edges_per_batch.append(n_edges)
     stage_dt = (time.perf_counter() - t0) / NSTAGE
     avg_edges = float(np.mean(edges_per_batch))
 
     # Compile + warmup.
     b0, f0 = staged[0]
-    params, opt_state, loss, _, _ = step(params, opt_state, b0, f0)
+    params, opt_state, loss, _, _ = step(params, opt_state, b0, f0,
+                                         sample_rng=_srng())
     jax.block_until_ready(loss)
 
     # Phase B: timed steady-state step loop over device-ready batches.
     t0 = time.perf_counter()
     for batch, frames in staged:
         params, opt_state, loss, _, _ = step(params, opt_state, batch,
-                                             frames)
+                                             frames, sample_rng=_srng())
     _ = float(loss)  # dependent-scalar fetch: the only relay-reliable sync
     dt = time.perf_counter() - t0
     iters = NSTAGE
@@ -366,17 +402,18 @@ def main():
     pipe_sampler = NativeSplitSampler(
         g, g.train_nodes(), pmap, P, fanouts, batch_size,
         capacities=caps, seed=3, cache=cache, num_workers=WORKERS,
-        drop_last=True,
+        drop_last=True, innermost=innermost,
     )
     it2 = iter(pipe_sampler)
     b = next(it2)  # warm the pipeline (same compiled step)
-    params, opt_state, loss, _, _ = step(params, opt_state, b, cache.frames)
+    params, opt_state, loss, _, _ = step(params, opt_state, b, cache.frames,
+                                         sample_rng=_srng())
     jax.block_until_ready(loss)
     n_pipe = 0
     t0 = time.perf_counter()
     for b in it2:
         params, opt_state, loss, _, _ = step(
-            params, opt_state, b, cache.frames
+            params, opt_state, b, cache.frames, sample_rng=_srng()
         )
         n_pipe += 1
         if n_pipe >= NPIPE:
@@ -407,7 +444,7 @@ def main():
         g, g.train_nodes(), pmap, P, fanouts, batch_size,
         capacities=caps, seed=5,
         cache=_ProdTailSink(cache.plan, dtype),
-        num_workers=WORKERS, drop_last=True,
+        num_workers=WORKERS, drop_last=True, innermost=innermost,
     )
     it3 = iter(prod_sampler)
     next(it3)  # warm the worker pool
@@ -422,7 +459,7 @@ def main():
     prod_ms = prod_dt / max(n_prod, 1) * 1e3
     if model_name == "sage":
         flops, bts = model_flops_bytes(
-            caps, g.feature_dim, hidden, g.num_classes, x_bytes
+            caps_used, g.feature_dim, hidden, g.num_classes, x_bytes
         )
         mfu = flops / step_s / PEAK_FLOPS
         hbm = bts / step_s / PEAK_BW
@@ -448,6 +485,7 @@ def main():
                  + ("/products-scale" if num_nodes >= 2_400_000 else ""),
         "cache_pct": round(cache_pct, 4),
         "cache_refreshing": bool(plan.needs_refresh),
+        "innermost": innermost,
         "cache_frame_mb": round(
             plan.frame_cap * g.feature_dim * x_bytes / 1e6, 1
         ),
