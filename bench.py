@@ -343,13 +343,28 @@ def main():
                                          sample_rng=_srng())
     jax.block_until_ready(loss)
 
-    # Phase B: timed steady-state step loop over device-ready batches.
-    t0 = time.perf_counter()
-    for batch, frames in staged:
-        params, opt_state, loss, _, _ = step(params, opt_state, batch,
-                                             frames, sample_rng=_srng())
-    _ = float(loss)  # dependent-scalar fetch: the only relay-reliable sync
-    dt = time.perf_counter() - t0
+    # Phase B: timed steady-state step loop over device-ready batches,
+    # in 3 chunks so the record carries run-to-run variance (VERDICT r4
+    # weak #3: no headline number a fresh driver run can undershoot by
+    # 20% without the spread being on record).
+    chunk_ms = []
+    dt = 0.0
+    done = 0
+    for c in range(3):
+        take = staged[done:] if c == 2 else \
+            staged[done : done + max(NSTAGE // 3, 1)]
+        if not take:
+            break
+        t0 = time.perf_counter()
+        for batch, frames in take:
+            params, opt_state, loss, _, _ = step(
+                params, opt_state, batch, frames, sample_rng=_srng()
+            )
+        _ = float(loss)  # dependent-scalar fetch: the relay-reliable sync
+        c_dt = time.perf_counter() - t0
+        chunk_ms.append(c_dt / len(take) * 1e3)
+        dt += c_dt
+        done += len(take)
     iters = NSTAGE
     sampler.close()
 
@@ -490,6 +505,7 @@ def main():
             plan.frame_cap * g.feature_dim * x_bytes / 1e6, 1
         ),
         "step_ms": round(step_s * 1e3, 2),
+        "step_ms_chunks": [round(c, 2) for c in chunk_ms],
         "edges_per_batch": int(avg_edges),
         "mfu_pct": round(100 * mfu, 2) if mfu is not None else None,
         "hbm_roofline_pct": round(100 * hbm, 1) if hbm is not None else None,

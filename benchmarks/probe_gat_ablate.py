@@ -144,6 +144,80 @@ def main():
             s_loc = jnp.broadcast_to(deg[:, None], (deg.shape[0], k))
             return finish(lyr, v_loc, s_loc, k, d_out, is_last, p)
 
+    # ---- round-5 backward itemization (VERDICT r4 item 5): difference
+    # the 23.7 ms backward the way r4 differenced the forward. Each
+    # variant surgically removes one backward path from the REAL batched
+    # attention (model.py SplitGAT.layer) while keeping the forward
+    # byte-identical in structure:
+    #   StopScoresGAT  pw := stop_gradient(pw) — ablates the score-chain
+    #                  vjp (wl einsum transpose + leaky/exp/max chain +
+    #                  er_frame scatter transpose)
+    #   StopXgGAT      xg := stop_gradient(x[nbr]) — ablates the
+    #                  neighbor-feature path (xg-side einsum vjps and the
+    #                  gather-transpose scatters of layers >= 1; layer 0's
+    #                  x is the non-differentiated cache frame already)
+    #   RematGAT       jax.checkpoint(nothing_saveable) around the
+    #                  attention block — backward RECOMPUTES the gather +
+    #                  einsums instead of reading stored residuals
+    #                  (store-vs-recompute trade, shippable if it wins)
+
+    def batched_attention(p, lyr, x, is_last, k, d_out, neg, pw_stop=False,
+                          xg_stop=False):
+        dst_cap = lyr.dst_cap
+        w3 = p["w"].reshape(x.shape[-1], k, d_out)
+        wl = jnp.einsum("hkd,kd->hk", w3, p["attn_l"])
+        wr = jnp.einsum("hkd,kd->hk", w3, p["attn_r"])
+        x_self = x[lyr.self_idx].astype(jnp.float32)
+        er_own = (x_self @ wr) * lyr.owned_mask[:, None]
+        er_frame = jnp.zeros((dst_cap, k), er_own.dtype)
+        tgt = jnp.where(lyr.owned_idx < 0, dst_cap, lyr.owned_idx)
+        er_frame = er_frame.at[tgt].set(er_own, mode="drop")
+        nbr = lyr.nbr_idx
+        sentinel = x.shape[0] - 1
+        xg = x[nbr]
+        if xg_stop:
+            xg = jax.lax.stop_gradient(xg)
+        valid = (nbr != sentinel)[..., None]
+        z = jax.nn.leaky_relu(
+            jnp.einsum("kdh,hc->kdc", xg, wl.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+            + er_frame[None], neg,
+        )
+        z = jnp.where(valid, z, -jnp.inf)
+        m_loc = jnp.max(z, axis=0)
+        safe = jnp.where(jnp.isfinite(m_loc), m_loc, 0.0)
+        pw = jnp.where(valid, jnp.exp(z - safe[None]), 0.0)
+        if pw_stop:
+            pw = jax.lax.stop_gradient(pw)
+        s_loc = jnp.sum(pw, axis=0)
+        agg = jnp.einsum("kdc,kdh->dch", pw.astype(x.dtype), xg,
+                         preferred_element_type=jnp.float32)
+        v_loc = jnp.einsum("dch,hco->dco", agg, w3)
+        return finish(lyr, v_loc, s_loc, k, d_out, is_last, p)
+
+    def make_variant(pw_stop=False, xg_stop=False, remat=False):
+        class Variant(SplitGAT):
+            def layer(self, p, lyr, x, is_last):
+                fn = lambda p_, x_: batched_attention(
+                    p_, lyr, x_, is_last, self.num_heads,
+                    p["attn_l"].shape[1], self.negative_slope,
+                    pw_stop=pw_stop, xg_stop=xg_stop,
+                )
+                if remat:
+                    fn = jax.checkpoint(
+                        fn,
+                        policy=jax.checkpoint_policies.nothing_saveable,
+                    )
+                return fn(p, x)
+
+        return Variant(g.feature_dim, d_out_hidden, g.num_classes, 3,
+                       num_heads=heads, dtype=dtype)
+
+    base_v = make_variant()
+    stop_scores = make_variant(pw_stop=True)
+    stop_xg = make_variant(xg_stop=True)
+    remat_v = make_variant(remat=True)
+
     uniform = UniformGAT(g.feature_dim, d_out_hidden, g.num_classes, 3,
                          num_heads=heads, dtype=dtype)
     plain = SumGAT(g.feature_dim, d_out_hidden, g.num_classes, 3,
@@ -172,6 +246,10 @@ def main():
     fwd_uniform = make_fwd_loss(uniform)
     fwd_sum = make_fwd_loss(plain)
     grad_fn = jax.jit(jax.grad(fwd_loss))
+    grad_base = jax.jit(jax.grad(make_fwd_loss(base_v)))
+    grad_stop_scores = jax.jit(jax.grad(make_fwd_loss(stop_scores)))
+    grad_stop_xg = jax.jit(jax.grad(make_fwd_loss(stop_xg)))
+    grad_remat = jax.jit(jax.grad(make_fwd_loss(remat_v)))
 
     it = iter(sampler)
     nstage = int(os.environ.get("OCC_BENCH_NSTAGE", 8))
@@ -197,6 +275,12 @@ def main():
     t_fwd = timeit("fwd", lambda b: fwd_loss(params, b, frames))
     t_uni = timeit("fwd_uniform", lambda b: fwd_uniform(params, b, frames))
     t_sum = timeit("fwd_sum", lambda b: fwd_sum(params, b, frames))
+    t_gbase = timeit("grad_base", lambda b: grad_base(params, b, frames))
+    t_gss = timeit("grad_stop_scores",
+                   lambda b: grad_stop_scores(params, b, frames))
+    t_gsx = timeit("grad_stop_xg",
+                   lambda b: grad_stop_xg(params, b, frames))
+    t_grm = timeit("grad_remat", lambda b: grad_remat(params, b, frames))
 
     rec = {
         "experiment": "gat_phases",
@@ -213,6 +297,15 @@ def main():
         "score_chain_ms": round(t_fwd - t_uni, 2),
         "weighted_einsum_ms": round(t_uni - t_sum, 2),
         "bwd_ms": round(t_grad - t_fwd, 2),
+        "bwd_itemization_ms": {
+            "grad_base_twin": round(t_gbase, 2),
+            "grad_stop_scores": round(t_gss, 2),
+            "grad_stop_xg": round(t_gsx, 2),
+            "grad_remat_nothing_saveable": round(t_grm, 2),
+            "score_chain_bwd": round(t_gbase - t_gss, 2),
+            "neighbor_path_bwd": round(t_gbase - t_gsx, 2),
+            "remat_delta": round(t_grm - t_gbase, 2),
+        },
         "note": (
             "differencing attribution of the products GAT step: "
             "score_chain = fwd - fwd_uniform (wl/er contraction + "

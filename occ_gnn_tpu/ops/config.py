@@ -131,3 +131,39 @@ def set_gat_agg_impl(value: str) -> None:
     if value not in _GAT_AGG_CHOICES:
         raise ValueError(f"gat_agg impl must be one of {_GAT_AGG_CHOICES}")
     _gat_agg = value
+
+
+_device_sample: str | None = None
+_DEVICE_SAMPLE_CHOICES = ("randint", "bitsf32", "bitsf32_dk")
+
+
+def device_sample_impl() -> str:
+    """Device-innermost draw + CSR gather lowering
+    (parallel/split.synthesize_device_innermost): 'randint'
+    (jax.random.randint with per-dst maxval — integer remainder is
+    emulated on the TPU VPU), 'bitsf32' (random bits -> f32 multiply ->
+    floor; no integer division, exact for deg < 2^24 with a min guard),
+    or 'bitsf32_dk' (same draws, but the CSR element gather runs d-major
+    so one dst's K draws — which sit in a ~100-byte adjacency span —
+    share cache lines, transposed back afterwards).
+
+    Read at TRACE time, same semantics as ``dense_agg_impl``."""
+    global _device_sample
+    if _device_sample is None:
+        v = os.environ.get("OCC_DEVICE_SAMPLE", "randint")
+        if v not in _DEVICE_SAMPLE_CHOICES:
+            raise ValueError(
+                f"OCC_DEVICE_SAMPLE={v!r} is not one of "
+                f"{_DEVICE_SAMPLE_CHOICES}"
+            )
+        _device_sample = v
+    return _device_sample
+
+
+def set_device_sample_impl(value: str) -> None:
+    global _device_sample
+    if value not in _DEVICE_SAMPLE_CHOICES:
+        raise ValueError(
+            f"device_sample impl must be one of {_DEVICE_SAMPLE_CHOICES}"
+        )
+    _device_sample = value

@@ -216,6 +216,8 @@ def synthesize_device_innermost(
     Call per device (inside shard_map) with UNSTACKED arrays; indptr /
     indices are the full-graph CSR as i32 (replicated across the mesh).
     """
+    from occ_gnn_tpu.ops.config import device_sample_impl
+
     dg = lyr.dst_global  # [D_cap] i32, pad -1
     D = dg.shape[0]
     K = lyr.fanout
@@ -226,11 +228,31 @@ def synthesize_device_innermost(
     deg = jnp.where(valid, indptr[g + 1] - off, 0)
     take = jnp.minimum(deg, K)
     kr = jnp.arange(K, dtype=jnp.int32)[:, None]
-    draws = jax.random.randint(
-        key, (K, D), 0, jnp.maximum(deg, 1)[None, :], dtype=jnp.int32
-    )
+    impl = device_sample_impl()
+    if impl == "randint":
+        draws = jax.random.randint(
+            key, (K, D), 0, jnp.maximum(deg, 1)[None, :], dtype=jnp.int32
+        )
+    else:
+        # bits -> f32 multiply -> floor: uniform over [0, deg) without
+        # the TPU's emulated integer remainder. Exact for deg < 2^24
+        # (24-bit mantissa); the min() guards the float-rounding edge
+        # where u*deg rounds up to deg.
+        bits = jax.random.bits(key, (K, D), dtype=jnp.uint32)
+        u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        draws = jnp.minimum(
+            jnp.floor(u * deg.astype(jnp.float32)[None, :]).astype(
+                jnp.int32
+            ),
+            jnp.maximum(deg - 1, 0)[None, :],
+        )
     sel = jnp.where(deg[None, :] > K, draws, kr)
-    src = indices[off[None, :] + sel]
+    if impl == "bitsf32_dk":
+        # d-major gather: one dst's K draws sit in a ~100-byte adjacency
+        # span, so consecutive gather elements share cache lines.
+        src = indices[off[:, None] + sel.T].T
+    else:
+        src = indices[off[None, :] + sel]
     zero_row = lyr.src_cap - 1  # reserved zero row of the cache frame
     nbr_main = jnp.where(kr < take[None, :], src, zero_row)
     self_rows = jnp.where(valid, g, zero_row).astype(jnp.int32)
