@@ -199,11 +199,25 @@ def main():
     )
     probe = CachePlan(g, pmap, P, cache_pct,
                       refresh_cap=safe["frame_caps"][0])
-    # margin sizes the padding headroom over the observed per-field maxima.
-    # Counter-intuitively, tighter is not faster here: margin 1.25 measured
-    # 41.7ms/step vs 1.5's 35.7ms at products scale (XLA picks different
-    # layouts for the smaller unaligned shapes) — keep 1.5, tune via env.
-    margin = float(os.environ.get("OCC_BENCH_MARGIN", 1.5))
+    # Innermost sampling placement: 'device' (jit-synthesized from a
+    # resident CSR — needs the replicated auto-sized cache) or 'host'
+    # (C++ builds + ships the [K_cap, D_cap] nbr matrix). auto = device
+    # whenever eligible. OCC_BENCH_INNERMOST overrides. Resolved BEFORE
+    # the margin (the best margin depends on the placement).
+    innermost = os.environ.get("OCC_BENCH_INNERMOST", "auto")
+    if innermost == "auto":
+        innermost = "device" if probe.replicated else "host"
+    # margin sizes the padding headroom over the observed per-field maxima,
+    # and the best value depends on the innermost placement (all measured
+    # at products scale on v5e):
+    #   host:   1.5 (margin 1.25 measured 41.7 ms/step vs 1.5's 35.7 —
+    #           XLA picks worse layouts for the smaller unaligned shapes)
+    #   device: 1.2 (the on-chip synthesis + gathers scale with the cap:
+    #           1.5 -> 90.7 ms, 1.2 -> 64.2, 1.1 -> 69.9 (layout cliff
+    #           again) — r5 margin sweep, bench_tpu.jsonl)
+    margin = float(os.environ.get(
+        "OCC_BENCH_MARGIN", 1.2 if innermost == "device" else 1.5
+    ))
     caps = measure_split_capacities(
         g, g.train_nodes(), pmap, P, fanouts, batch_size, num_batches=3,
         margin=margin, seed=1, cache_plan=probe,
@@ -211,13 +225,6 @@ def main():
     plan = CachePlan(g, pmap, P, cache_pct,
                      refresh_cap=max(caps.pop("refresh_cap", 8), 8))
     cache = SplitFeatureCache(plan, dtype=dtype)
-    # Innermost sampling placement: 'device' (jit-synthesized from a
-    # resident CSR — needs the replicated auto-sized cache) or 'host'
-    # (C++ builds + ships the [K_cap, D_cap] nbr matrix). auto = device
-    # whenever eligible. OCC_BENCH_INNERMOST overrides.
-    innermost = os.environ.get("OCC_BENCH_INNERMOST", "auto")
-    if innermost == "auto":
-        innermost = "device" if plan.replicated else "host"
     csr = None
     sample_key = None
     if innermost == "device":
