@@ -69,6 +69,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--measure-caps", action="store_true",
                    help="measure padding capacities from a few batches "
                         "instead of worst-case planning")
+    p.add_argument("--caps-margin", type=float, default=0.0,
+                   help="headroom factor over measured capacity maxima "
+                        "(0 = auto: 1.2 under device-innermost sampling, "
+                        "1.35 otherwise — the r5 margin sweep showed the "
+                        "on-chip synthesis cost scales with the layer-0 "
+                        "cap; overflow still auto-replans at 1.5x)")
     p.add_argument("--num-workers", type=int, default=2,
                    help="C++ sampler worker threads")
     p.add_argument("--sample-without-replacement", action="store_true",
@@ -377,6 +383,18 @@ def train_split(args, g, fanouts, timers):
         if args.cache_per == "auto":
             print(f"cache auto-sized to {cache_pct:.4f} of the graph "
                   f"({'no per-batch refresh' if cache_pct >= 1.0 / P else 'refreshing'})")
+        # Innermost placement must be known before capacity measurement:
+        # the best padding margin depends on it (r5 sweep — the on-chip
+        # synthesis cost scales with the layer-0 cap).
+        will_device = (
+            args.innermost != "host"
+            and args.sampler == "native"
+            and cache_pct >= 1.0
+            and not args.sample_without_replacement
+            and fanouts[-1] > 0
+            and g.num_edges < 2**31
+        )
+        margin = args.caps_margin or (1.2 if will_device else 1.35)
         if args.measure_caps:
             # Measure with the cache policy active — it changes where the
             # innermost layer's edges execute, hence the per-field maxima.
@@ -388,7 +406,7 @@ def train_split(args, g, fanouts, timers):
                 )
             caps = measure_split_capacities(
                 g, g.train_nodes(), pmap, P, fanouts, args.batch_size,
-                seed=args.seed + 99, cache_plan=probe_plan,
+                seed=args.seed + 99, cache_plan=probe_plan, margin=margin,
             )
         else:
             caps = dict(safe_caps)
