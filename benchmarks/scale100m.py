@@ -72,7 +72,15 @@ def main():
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--fan-out", type=str, default="10,10,25")
-    ap.add_argument("--cache-per", type=float, default=0.05)
+    ap.add_argument("--cache-per", type=str, default="0.05",
+                    help="fraction, or 'auto' to size to the HBM budget "
+                         "(at 100M x 16-dim the whole bf16 table fits -> "
+                         "replicated cache, no refresh)")
+    ap.add_argument("--innermost", type=str, default="auto",
+                    choices=["auto", "host", "device"],
+                    help="device = sample the innermost layer on-chip "
+                         "from a resident CSR (needs --device-step and a "
+                         "replicated cache)")
     ap.add_argument("--num-batches", type=int, default=16)
     ap.add_argument("--num-workers", type=int, default=2)
     ap.add_argument("--workdir", type=str, default="/tmp/occ_scale100m")
@@ -108,7 +116,7 @@ def main():
     record = {"bench": "scale100m", "num_nodes": args.num_nodes,
               "avg_degree": args.avg_degree, "partitions": P,
               "batch_size": args.batch_size, "fanouts": fanouts,
-              "cache_per": args.cache_per}
+              "cache_per": args.cache_per}  # resolved value recorded below
 
     t0 = time.perf_counter()
     g = build_graph(args.num_nodes, args.avg_degree, args.feature_dim,
@@ -132,8 +140,14 @@ def main():
     record["measure_caps_s"] = round(time.perf_counter() - t0, 2)
     record["caps"] = {k: v for k, v in probe_caps.items()}
 
+    from occ_gnn_tpu.cache import resolve_cache_percentage
+
+    cache_pct = resolve_cache_percentage(
+        args.cache_per, g, pmap, P, dtype_bytes=2, refresh_cap=refresh_cap,
+    )
+    record["cache_per"] = round(cache_pct, 4)
     t0 = time.perf_counter()
-    plan = CachePlan(g, pmap, P, args.cache_per, refresh_cap=refresh_cap)
+    plan = CachePlan(g, pmap, P, cache_pct, refresh_cap=refresh_cap)
     record["cache_plan_s"] = round(time.perf_counter() - t0, 2)
     map_bytes = (plan.owner_local.nbytes + plan.static_owner_local.nbytes
                  + plan.wmap.nbytes + plan.foreign_nodes_flat.nbytes
@@ -166,10 +180,15 @@ def main():
         record["refresh_bytes_cap"] = int(
             P * plan.refresh_cap * g.feature_dim * 2
         )  # worst case; measured avg lands in refresh_bytes_per_batch
+    innermost = args.innermost
+    if innermost == "auto":
+        innermost = ("device" if (args.device_step and plan.replicated
+                                  and g.num_edges < 2**31) else "host")
+    record["innermost"] = innermost
     sampler = NativeSplitSampler(
         g, train_nodes, pmap, P, fanouts, args.batch_size,
         capacities=caps, seed=args.seed, cache=cache,
-        num_workers=args.num_workers,
+        num_workers=args.num_workers, innermost=innermost,
     )
     try:
         if args.device_step:
@@ -188,18 +207,46 @@ def main():
             params = model.init(jax.random.PRNGKey(0))
             opt = optax.adam(1e-3)
             ost = opt.init(params)
-            step = make_split_train_step(model, opt, mesh)
+            csr = None
+            skey = [None]
+            if innermost == "device":
+                from occ_gnn_tpu.parallel.model import make_device_csr
+
+                csr = make_device_csr(g)
+                record["csr_hbm_gb"] = round(
+                    (csr[0].nbytes + csr[1].nbytes) / 1e9, 2
+                )
+                skey = [jax.random.PRNGKey(17), 0]
+            step0 = make_split_train_step(model, opt, mesh, csr=csr)
+
+            def step(params, ost, batch, frames):
+                if csr is None:
+                    return step0(params, ost, batch, frames)
+                skey[1] += 1
+                return step0(params, ost, batch, frames,
+                             sample_rng=jax.random.fold_in(
+                                 skey[0], skey[1]))
             it = iter(sampler)
             # Phase A: stage batches with their frames version (each
             # refresh is a functional update — pairing stays correct).
             nstage = min(args.num_batches, 8)  # 8 frame versions in HBM
             staged = []
             n_edges = 0
+            indeg = (np.diff(np.asarray(g.indptr))
+                     if innermost == "device" else None)
             for _ in range(nstage):
                 batch = next(it)
                 staged.append((batch, cache.frames))
                 for lyr in batch.layers:
-                    n_edges += count_layer_edges(lyr)
+                    if lyr.device_sampled:
+                        dg = np.asarray(lyr.dst_global).ravel()
+                        dg = dg[dg >= 0]
+                        n_edges += int(
+                            np.minimum(indeg[dg], lyr.fanout).sum()
+                            + dg.shape[0]
+                        )
+                    else:
+                        n_edges += count_layer_edges(lyr)
             b0, f0 = staged[0]  # warmup: compile step + unpack
             params, ost, loss, _, _ = step(params, ost, b0, f0)
             _ = float(loss)  # device->host fetch: the tunnel-safe sync

@@ -246,3 +246,27 @@ def test_native_matches_numpy_replicated_cache(small_graph):
     assert (np.asarray(b_nat.layers[0].push_idx) < 0).all()
     assert (np.asarray(b_py.layers[0].push_idx) < 0).all()
     nat.close()
+
+
+def test_gat_forward_bit_identical_low_degree(setup):
+    """The attention path consumes the synthesized nbr identically:
+    device-innermost GAT forward == host-innermost GAT forward when
+    deg <= fanout (no draws)."""
+    from occ_gnn_tpu.parallel.model import SplitGAT
+
+    g, pmap, fanouts = setup
+    host, dev = _samplers(g, pmap, fanouts, seed=21)
+    batch = g.train_nodes()[:32]
+    bh = host.sample_batch(batch)
+    bd = dev.sample_batch(batch)
+    mesh = make_mesh(P)
+    model = SplitGAT(g.feature_dim, 8, g.num_classes, 2, num_heads=2)
+    params = model.init(jax.random.PRNGKey(2))
+    cache = SplitFeatureCache(host.cache_plan)
+    fwd_h = make_split_forward(model, mesh)
+    fwd_d = make_split_forward(model, mesh, csr=make_device_csr(g))
+    lh = fwd_h(params, bh, cache.frames)
+    ld = fwd_d(params, bd, cache.frames, sample_rng=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(lh), np.asarray(ld))
+    host.close()
+    dev.close()
