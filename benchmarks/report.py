@@ -32,6 +32,14 @@ def main():
         for rec in lines:
             key = (rec.get("experiment", fallback), rec.get("model"))
             latest[key] = rec
+        # Drop a model-less group when model-keyed records of the same
+        # experiment exist (old record schema; the model-keyed ones are
+        # the continuation — keeping both surfaces a stale headline).
+        for exp, model in list(latest):
+            if model is None and any(
+                k[0] == exp and k[1] for k in latest
+            ):
+                del latest[(exp, None)]
         for rec in latest.values():
             title = rec.get("experiment", fallback)
             if rec.get("model"):
