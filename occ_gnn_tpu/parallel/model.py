@@ -489,12 +489,16 @@ def _check_dropout_rng(model, rng):
 
 
 def _make_split_train_step_single(model, optimizer, csr=None):
+    # csr is threaded as a jit ARGUMENT (not a closure capture): captured
+    # multi-GB device arrays are embedded as constants at lowering time
+    # (jax warns at 3.6 GB for the 100M CSR), bloating the module; as an
+    # argument the executable receives them by reference.
     @jax.jit
-    def step(params, opt_state, batch: SplitBatch, x0, rng=None,
-             sample_rng=None):
+    def _step(params, opt_state, batch: SplitBatch, x0, rng, sample_rng,
+              csr_arrs):
         _check_dropout_rng(model, rng)
         layers_l = [_unstack(l) for l in batch.layers]
-        layers_l = _materialize_layers(layers_l, csr, sample_rng)
+        layers_l = _materialize_layers(layers_l, csr_arrs, sample_rng)
 
         def loss_fn(prm):
             logits = model.forward_local(prm, layers_l, x0[0], rng=rng)
@@ -508,6 +512,9 @@ def _make_split_train_step_single(model, optimizer, csr=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, correct, cnt
 
+    def step(params, opt_state, batch, x0, rng=None, sample_rng=None):
+        return _step(params, opt_state, batch, x0, rng, sample_rng, csr)
+
     return step
 
 
@@ -519,20 +526,24 @@ def make_split_forward(model, mesh, csr=None):
     if mesh.devices.size == 1:
 
         @jax.jit
-        def fwd_single(params, batch: SplitBatch, x0, sample_rng=None):
+        def _fwd_single(params, batch: SplitBatch, x0, sample_rng,
+                        csr_arrs):
             layers_l = [_unstack(l) for l in batch.layers]
-            layers_l = _materialize_layers(layers_l, csr, sample_rng)
+            layers_l = _materialize_layers(layers_l, csr_arrs, sample_rng)
             return model.forward_local(params, layers_l, x0[0])[None]
+
+        def fwd_single(params, batch, x0, sample_rng=None):
+            return _fwd_single(params, batch, x0, sample_rng, csr)
 
         return fwd_single
 
-    def body(params, layers, x0, sample_rng=None):
+    def body(params, layers, x0, sample_rng=None, csr_arrs=None):
         layers_l = [_unstack(l) for l in layers]
-        if csr is not None and sample_rng is not None:
+        if csr_arrs is not None and sample_rng is not None:
             sample_rng = jax.random.fold_in(
                 sample_rng, jax.lax.axis_index("p")
             )
-        layers_l = _materialize_layers(layers_l, csr, sample_rng)
+        layers_l = _materialize_layers(layers_l, csr_arrs, sample_rng)
         logits = model.forward_local(params, layers_l, x0[0])
         return logits[None]
 
@@ -544,18 +555,23 @@ def make_split_forward(model, mesh, csr=None):
         check_vma=False,
     )
     mapped_sampled = jax.shard_map(
-        body,
+        lambda prm, ly, x, s, c: body(prm, ly, x, sample_rng=s,
+                                      csr_arrs=c),
         mesh=mesh,
-        in_specs=(P(), P("p"), P("p"), P()),
+        in_specs=(P(), P("p"), P("p"), P(), P()),
         out_specs=P("p"),
         check_vma=False,
     )
 
     @jax.jit
-    def fwd(params, batch: SplitBatch, x0, sample_rng=None):
+    def _fwd(params, batch: SplitBatch, x0, sample_rng, csr_arrs):
         if sample_rng is None:
             return mapped(params, batch.layers, x0)
-        return mapped_sampled(params, batch.layers, x0, sample_rng)
+        return mapped_sampled(params, batch.layers, x0, sample_rng,
+                              csr_arrs)
+
+    def fwd(params, batch, x0, sample_rng=None):
+        return _fwd(params, batch, x0, sample_rng, csr)
 
     return fwd
 
@@ -577,7 +593,7 @@ def make_split_train_step(model, optimizer, mesh, csr=None):
 
     def make_loss_body(with_rng: bool, with_sample: bool):
         def loss_body(params, layers, labels, x0, rng=None,
-                      sample_rng=None):
+                      sample_rng=None, csr_arrs=None):
             layers_l = [_unstack(l) for l in layers]
             if with_rng:
                 # Distinct dropout stream per partition (each device masks
@@ -587,7 +603,8 @@ def make_split_train_step(model, optimizer, mesh, csr=None):
                 sample_rng = jax.random.fold_in(
                     sample_rng, jax.lax.axis_index("p")
                 )
-                layers_l = _materialize_layers(layers_l, csr, sample_rng)
+                layers_l = _materialize_layers(layers_l, csr_arrs,
+                                               sample_rng)
             logits = model.forward_local(params, layers_l, x0[0], rng=rng)
             nll, cnt, correct = _local_ce(logits, labels[0])
             nll = jax.lax.psum(nll, "p")
@@ -599,18 +616,22 @@ def make_split_train_step(model, optimizer, mesh, csr=None):
         return loss_body
 
     def make_mapped(with_rng: bool, with_sample: bool):
+        # csr rides as a replicated shard_map ARGUMENT (P() spec), never a
+        # closure capture — captured multi-GB arrays are embedded as
+        # constants at lowering time (see _make_split_train_step_single).
         specs = [P(), P("p"), P("p"), P("p")]
         body = make_loss_body(with_rng, with_sample)
         if with_rng and with_sample:
-            fn = body
-            specs += [P(), P()]
+            fn = lambda prm, ly, lb, x, r, s, c: body(
+                prm, ly, lb, x, rng=r, sample_rng=s, csr_arrs=c)
+            specs += [P(), P(), P()]
         elif with_rng:
             fn = lambda prm, ly, lb, x, r: body(prm, ly, lb, x, rng=r)
             specs += [P()]
         elif with_sample:
-            fn = lambda prm, ly, lb, x, s: body(prm, ly, lb, x,
-                                                sample_rng=s)
-            specs += [P()]
+            fn = lambda prm, ly, lb, x, s, c: body(
+                prm, ly, lb, x, sample_rng=s, csr_arrs=c)
+            specs += [P(), P()]
         else:
             fn = body
         return jax.shard_map(
@@ -625,8 +646,8 @@ def make_split_train_step(model, optimizer, mesh, csr=None):
     }
 
     @jax.jit
-    def step(params, opt_state, batch: SplitBatch, x0, rng=None,
-             sample_rng=None):
+    def _step(params, opt_state, batch: SplitBatch, x0, rng, sample_rng,
+              csr_arrs):
         _check_dropout_rng(model, rng)
         wr, ws = rng is not None, sample_rng is not None
         args = [batch.layers, batch.labels, x0]
@@ -634,6 +655,7 @@ def make_split_train_step(model, optimizer, mesh, csr=None):
             args.append(rng)
         if ws:
             args.append(sample_rng)
+            args.append(csr_arrs)
         fn = lambda prm: mapped[(wr, ws)](prm, *args)
         (loss, (correct, cnt)), grads = jax.value_and_grad(
             fn, has_aux=True
@@ -641,5 +663,8 @@ def make_split_train_step(model, optimizer, mesh, csr=None):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, correct, cnt
+
+    def step(params, opt_state, batch, x0, rng=None, sample_rng=None):
+        return _step(params, opt_state, batch, x0, rng, sample_rng, csr)
 
     return step
