@@ -270,3 +270,26 @@ def test_gat_forward_bit_identical_low_degree(setup):
     np.testing.assert_array_equal(np.asarray(lh), np.asarray(ld))
     host.close()
     dev.close()
+
+
+def test_device_mode_capacity_overflow_raises_in_turn(small_graph):
+    """Error 3 (dst frame overflow) from the device-mode emission path
+    surfaces as the same catchable 'overflow' ValueError the trainer's
+    auto-replan matches on."""
+    g = small_graph
+    pmap = partition_graph(g, P, mode="greedy")
+    plan = CachePlan(g, pmap, P, 1.0, refresh_cap=8)
+    from occ_gnn_tpu.sampling.slicer import plan_split_capacities
+
+    caps = plan_split_capacities(64, [5, 5], g.num_nodes, P)
+    caps = dict(caps)
+    caps["dst_caps"] = list(caps["dst_caps"])
+    caps["out_caps"] = list(caps["out_caps"])
+    caps["dst_caps"][0] = 4   # far below any real batch's dst fill
+    caps["out_caps"][0] = 4
+    dev = NativeSplitSampler(g, g.train_nodes(), pmap, P, [5, 5], 64,
+                             capacities=caps, seed=1, cache=plan,
+                             num_workers=1, innermost="device")
+    with pytest.raises(ValueError, match="overflow"):
+        dev.sample_batch(g.train_nodes()[:64])
+    dev.close()
