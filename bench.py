@@ -64,6 +64,15 @@ import time
 import numpy as np
 
 BASELINE_EDGES_PER_S_PER_GPU = 0.99e6
+
+
+def _dev_sample_impl() -> str:
+    from occ_gnn_tpu.ops.config import device_sample_impl
+
+    return device_sample_impl()
+
+
+
 # TPU v5e (the bench chip): bf16 matmul peak and HBM bandwidth.
 PEAK_FLOPS = float(os.environ.get("OCC_PEAK_FLOPS", 197e12))
 PEAK_BW = float(os.environ.get("OCC_PEAK_BW", 819e9))
@@ -508,6 +517,9 @@ def main():
         "cache_pct": round(cache_pct, 4),
         "cache_refreshing": bool(plan.needs_refresh),
         "innermost": innermost,
+        "device_sample_impl": (
+            _dev_sample_impl() if innermost == "device" else None
+        ),
         "cache_frame_mb": round(
             plan.frame_cap * g.feature_dim * x_bytes / 1e6, 1
         ),

@@ -134,7 +134,7 @@ def set_gat_agg_impl(value: str) -> None:
 
 
 _device_sample: str | None = None
-_DEVICE_SAMPLE_CHOICES = ("randint", "bitsf32", "bitsf32_dk")
+_DEVICE_SAMPLE_CHOICES = ("randint", "bitsf32", "bitsf32_dk", "window")
 
 
 def device_sample_impl() -> str:
@@ -143,9 +143,28 @@ def device_sample_impl() -> str:
     (jax.random.randint with per-dst maxval — integer remainder is
     emulated on the TPU VPU), 'bitsf32' (random bits -> f32 multiply ->
     floor; no integer division, exact for deg < 2^24 with a min guard),
-    or 'bitsf32_dk' (same draws, but the CSR element gather runs d-major
+    'bitsf32_dk' (same draws, but the CSR element gather runs d-major
     so one dst's K draws — which sit in a ~100-byte adjacency span —
-    share cache lines, transposed back afterwards).
+    share cache lines, transposed back afterwards), or 'window' (ONE
+    uniform start per dst + a contiguous K-slice gather from a
+    DOUBLED-adjacency CSR: per-dst transactions drop from K scattered
+    4-byte reads to one 4K-byte slice, and RNG draws from K*D to D.
+    deg <= fanout stays bit-identical to the host path — the slice at
+    the span start IS the adjacency in order; deg > fanout becomes
+    wrap-around window sampling: uniform per-neighbor marginals,
+    without replacement, but adjacency-contiguous draws are correlated
+    within one dst's sample — a different, equally valid sampler than
+    rand%deg-with-replacement. Costs 2x CSR memory
+    (make_device_csr builds the doubled layout when this is selected).
+
+    MEASURED (r5, products scale on v5e, bench_tpu.jsonl): randint
+    64.0 ms/step, window 150.5 ms — the vmapped per-dst dynamic_slice
+    lowers FAR worse than K*D scattered element gathers, the third
+    measured refutation (after 'bitsf32_dk' 108.5 and the r4 d-major
+    feature gather) of the hypothesis that the step is
+    gather-transaction/locality bound. 'randint' stays the default;
+    'window' is kept as the comparison point and for graphs where the
+    2x-CSR/correlated-draw trade is wanted for other reasons.
 
     Read at TRACE time, same semantics as ``dense_agg_impl``."""
     global _device_sample

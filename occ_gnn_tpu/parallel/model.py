@@ -43,8 +43,19 @@ def make_device_csr(graph):
     """Device-resident CSR for device-innermost sampling: (indptr, indices)
     as i32 jax arrays (i32 offsets bound the graph to < 2^31 edges; at
     products scale the pair is ~255 MB of HBM). Pass the result to
-    ``make_split_train_step(..., csr=...)`` / ``make_split_forward``."""
+    ``make_split_train_step(..., csr=...)`` / ``make_split_forward``.
+
+    Under ``OCC_DEVICE_SAMPLE=window`` the indices array is the DOUBLED
+    layout (each node's adjacency written twice back-to-back, node i's
+    span at [2*indptr[i], 2*indptr[i]+2*deg_i)): the synthesis then
+    samples a contiguous wrap-around window with one dynamic slice per
+    dst instead of K scattered element gathers. 2x indices memory; the
+    layout choice is read from the SAME trace-time config as the
+    synthesis, so build and consumption always agree within a process.
+    """
     import numpy as np
+
+    from occ_gnn_tpu.ops.config import device_sample_impl
 
     if graph.num_edges >= 2**31 or graph.num_nodes >= 2**31:
         raise ValueError(
@@ -52,9 +63,29 @@ def make_device_csr(graph):
             f"graph has {graph.num_edges} edges / {graph.num_nodes} nodes "
             "(>= 2^31) — use the host innermost path"
         )
+    indptr = np.asarray(graph.indptr)
+    indices = np.asarray(graph.indices, dtype=np.int32)
+    if device_sample_impl() == "window":
+        from occ_gnn_tpu.parallel.split import WINDOW_PAD
+
+        E = indices.shape[0]
+        if 2 * E + WINDOW_PAD >= 2**31:
+            raise ValueError(
+                "window device sampling doubles the indices array: "
+                f"2*{E} edges overflows int32 offsets — use "
+                "OCC_DEVICE_SAMPLE=randint for this graph"
+            )
+        deg = np.diff(indptr).astype(np.int64)
+        node = np.repeat(np.arange(deg.shape[0], dtype=np.int64), deg)
+        # doubled position of edge e = off[node_e] + e (== 2*off + within)
+        p1 = indptr[:-1].astype(np.int64)[node] + np.arange(E, dtype=np.int64)
+        doubled = np.zeros(2 * E + WINDOW_PAD, dtype=np.int32)
+        doubled[p1] = indices
+        doubled[p1 + deg[node]] = indices
+        indices = doubled
     return (
-        jnp.asarray(np.asarray(graph.indptr, dtype=np.int32)),
-        jnp.asarray(np.asarray(graph.indices, dtype=np.int32)),
+        jnp.asarray(indptr.astype(np.int32)),
+        jnp.asarray(indices),
     )
 
 
@@ -64,10 +95,13 @@ def _csr_embed(csr):
     scale (step 64.2 vs 68.9 ms; XLA exploits the constant), but at 100M
     the 3.6 GB CSR must not be baked into the module (jax warns and the
     compile balloons). Embed when small, pass as an argument when big;
-    OCC_CSR_EMBED_MAX overrides the 1 GB threshold."""
+    OCC_CSR_EMBED_MAX overrides the 256 MB threshold (the products-scale
+    255 MB CSR is the largest embed ever measured through a compile
+    service — the 500 MB window-mode doubled layout overflows request
+    body limits there, HTTP 413)."""
     if csr is None:
         return False
-    cap = int(float(os.environ.get("OCC_CSR_EMBED_MAX", 1 << 30)))
+    cap = int(float(os.environ.get("OCC_CSR_EMBED_MAX", 1 << 28)))
     return (csr[0].nbytes + csr[1].nbytes) <= cap
 
 

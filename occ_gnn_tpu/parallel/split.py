@@ -46,6 +46,13 @@ static = lambda: dataclasses.field(metadata=dict(static=True), default=0)
 # comfortably VMEM-resident (probe_agg.py sweep).
 _DENSE_TILE = 8192
 
+# Sentinel padding appended to the doubled-adjacency indices array
+# (make_device_csr, OCC_DEVICE_SAMPLE=window) so the per-dst K-slice never
+# needs clamping: dynamic_slice clamps by SHIFTING the window start, which
+# would silently misalign the deg <= fanout bit-exact path at the array
+# tail. Bounds the supported fanout in window mode.
+WINDOW_PAD = 1024
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -229,6 +236,28 @@ def synthesize_device_innermost(
     take = jnp.minimum(deg, K)
     kr = jnp.arange(K, dtype=jnp.int32)[:, None]
     impl = device_sample_impl()
+    if impl == "window":
+        # Contiguous wrap-around window from the DOUBLED adjacency
+        # (make_device_csr): node g's doubled span starts at 2*off.
+        # deg <= K: slice at the span start = the adjacency in order
+        # (bit-identical to the host take-all path; slots >= take read
+        # past the span but are masked to zero_row below). deg > K:
+        # window [start, start+K) mod deg via the second copy — uniform
+        # per-neighbor marginals, one K*4-byte slice per dst instead of
+        # K scattered 4-byte gathers, and D draws instead of K*D.
+        assert K <= WINDOW_PAD, (
+            f"window sampling pads the doubled CSR by {WINDOW_PAD}; "
+            f"fanout {K} would slice past it"
+        )
+        start = jax.random.randint(
+            key, (D,), 0, jnp.maximum(deg, 1), dtype=jnp.int32
+        )
+        base = 2 * off + jnp.where(deg > K, start, 0)
+        src = jax.vmap(
+            lambda b: jax.lax.dynamic_slice(indices, (b,), (K,))
+        )(base).T  # [K, D]
+        nbr_main = jnp.where(kr < take[None, :], src, lyr.src_cap - 1)
+        return _finish_innermost(lyr, g, valid, take, nbr_main)
     if impl == "randint":
         draws = jax.random.randint(
             key, (K, D), 0, jnp.maximum(deg, 1)[None, :], dtype=jnp.int32
@@ -255,6 +284,13 @@ def synthesize_device_innermost(
         src = indices[off[None, :] + sel]
     zero_row = lyr.src_cap - 1  # reserved zero row of the cache frame
     nbr_main = jnp.where(kr < take[None, :], src, zero_row)
+    return _finish_innermost(lyr, g, valid, take, nbr_main)
+
+
+def _finish_innermost(lyr, g, valid, take, nbr_main):
+    """Common tail of the synthesis lowerings: prepend the self slot and
+    assemble the owned-rank-order SplitLayer."""
+    zero_row = lyr.src_cap - 1
     self_rows = jnp.where(valid, g, zero_row).astype(jnp.int32)
     nbr = jnp.concatenate([self_rows[None, :], nbr_main], axis=0)
     O = lyr.out_cap
@@ -270,7 +306,7 @@ def synthesize_device_innermost(
         src_cap=lyr.src_cap,
         dst_cap=lyr.dst_cap,
         out_cap=O,
-        fanout=K,
+        fanout=lyr.fanout,
     )
 
 

@@ -272,6 +272,126 @@ def test_gat_forward_bit_identical_low_degree(setup):
     dev.close()
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _sample_impl(name):
+    from occ_gnn_tpu.ops.config import (
+        device_sample_impl,
+        set_device_sample_impl,
+    )
+
+    old = device_sample_impl()
+    set_device_sample_impl(name)
+    try:
+        yield
+    finally:
+        set_device_sample_impl(old)
+
+
+def test_window_layer_bit_identical_low_degree(setup):
+    """OCC_DEVICE_SAMPLE=window, deg <= fanout: the contiguous slice at
+    the doubled span's start IS the adjacency in order, so the window
+    lowering keeps the host-path bit-identity contract."""
+    g, pmap, fanouts = setup
+    with _sample_impl("window"):
+        host, dev = _samplers(g, pmap, fanouts, seed=13)
+        batch = g.train_nodes()[:32]
+        bh = host.sample_batch(batch)
+        bd = dev.sample_batch(batch)
+        csr = make_device_csr(g)  # doubled layout under window impl
+        l0h, l0d = bh.layers[0], bd.layers[0]
+        key = jax.random.PRNGKey(0)  # start unused when deg <= fanout
+        for p in range(P):
+            lyr_p = SplitLayer(
+                dst_global=l0d.dst_global[p], src_cap=l0d.src_cap,
+                dst_cap=l0d.dst_cap, out_cap=l0d.out_cap, fanout=l0d.fanout,
+            )
+            syn = synthesize_device_innermost(lyr_p, csr[0], csr[1], key)
+            D = syn.nbr_idx.shape[1]
+            host_nbr = np.asarray(l0h.nbr_idx[p])
+            np.testing.assert_array_equal(np.asarray(syn.nbr_idx),
+                                          host_nbr[:, :D])
+            np.testing.assert_array_equal(np.asarray(syn.owned_deg),
+                                          np.asarray(l0h.owned_deg[p]))
+        host.close()
+        dev.close()
+
+
+def test_window_draws_uniform_marginals(small_graph):
+    """deg > fanout under the window lowering: every draw comes from the
+    dst's adjacency, a window never repeats a neighbor (without
+    replacement when K <= deg), and per-neighbor selection frequency over
+    many keys is the uniform K/deg."""
+    g = small_graph
+    K = 3
+    indptr = np.asarray(g.indptr)
+    indices = np.asarray(g.indices)
+    deg = np.diff(indptr)
+    # position-frequency accounting needs distinct neighbor values (a
+    # multi-edge makes two positions indistinguishable by value)
+    uniq = np.array([
+        len(set(indices[indptr[v]:indptr[v + 1]].tolist())) == deg[v]
+        for v in range(g.num_nodes)
+    ])
+    targets = np.flatnonzero((deg > K) & uniq)[:8]
+    assert targets.size > 0, "fixture needs nodes with deg > fanout"
+    with _sample_impl("window"):
+        csr = make_device_csr(g)
+        D = len(targets)
+        lyr = SplitLayer(
+            dst_global=jnp.asarray(targets, jnp.int32),
+            src_cap=g.num_nodes + 1, dst_cap=D, out_cap=D, fanout=K,
+        )
+        counts = {int(v): np.zeros(deg[v], np.int64) for v in targets}
+        trials = 400
+        for t in range(trials):
+            syn = synthesize_device_innermost(
+                lyr, csr[0], csr[1], jax.random.PRNGKey(t)
+            )
+            nbr = np.asarray(syn.nbr_idx)  # [K+1, D]
+            for d, v in enumerate(targets):
+                adj = indices[indptr[v]:indptr[v + 1]]
+                drawn = nbr[1:, d]
+                assert len(set(drawn.tolist())) == K  # no repeats
+                for u in drawn:
+                    pos = np.flatnonzero(adj == u)
+                    assert pos.size > 0  # from the adjacency
+                    counts[int(v)][pos[0]] += 1
+        for v in targets:
+            freq = counts[int(v)] / trials
+            expect = K / deg[v]
+            # binomial CI: 400 trials, tolerate 5 sigma
+            tol = 5 * np.sqrt(expect * (1 - expect) / trials)
+            assert np.all(np.abs(freq - expect) < tol), (
+                v, freq, expect, tol
+            )
+
+
+def test_window_forward_matches_host_low_degree(setup):
+    """Full forward under the window lowering == host-innermost forward
+    when deg <= fanout."""
+    g, pmap, fanouts = setup
+    with _sample_impl("window"):
+        host, dev = _samplers(g, pmap, fanouts, seed=17)
+        batch = g.train_nodes()[:32]
+        bh = host.sample_batch(batch)
+        bd = dev.sample_batch(batch)
+        mesh = make_mesh(P)
+        model = SplitSAGE(g.feature_dim, 16, g.num_classes, 2)
+        params = model.init(jax.random.PRNGKey(1))
+        cache = SplitFeatureCache(host.cache_plan)
+        fwd_h = make_split_forward(model, mesh)
+        fwd_d = make_split_forward(model, mesh, csr=make_device_csr(g))
+        lh = fwd_h(params, bh, cache.frames)
+        ld = fwd_d(params, bd, cache.frames,
+                   sample_rng=jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(lh), np.asarray(ld))
+        host.close()
+        dev.close()
+
+
 def test_device_mode_capacity_overflow_raises_in_turn(small_graph):
     """Error 3 (dst frame overflow) from the device-mode emission path
     surfaces as the same catchable 'overflow' ValueError the trainer's
