@@ -72,6 +72,17 @@ def _dev_sample_impl() -> str:
     return device_sample_impl()
 
 
+def _gat_impls() -> str:
+    from occ_gnn_tpu.ops.config import (
+        gat_agg_impl,
+        gat_attention_impl,
+        gat_remat_impl,
+    )
+
+    return (f"attention={gat_attention_impl()},agg={gat_agg_impl()},"
+            f"remat={gat_remat_impl()}")
+
+
 
 # TPU v5e (the bench chip): bf16 matmul peak and HBM bandwidth.
 PEAK_FLOPS = float(os.environ.get("OCC_PEAK_FLOPS", 197e12))
@@ -520,6 +531,7 @@ def main():
         "device_sample_impl": (
             _dev_sample_impl() if innermost == "device" else None
         ),
+        "gat_impls": _gat_impls() if model_name == "gat" else None,
         "cache_frame_mb": round(
             plan.frame_cap * g.feature_dim * x_bytes / 1e6, 1
         ),

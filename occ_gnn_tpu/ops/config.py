@@ -133,6 +133,49 @@ def set_gat_agg_impl(value: str) -> None:
     _gat_agg = value
 
 
+_gat_remat: str | None = None
+_GAT_REMAT_CHOICES = ("none", "dots")
+
+
+def gat_remat_impl() -> str:
+    """Rematerialization policy for the split-GAT layer backward: 'none'
+    (XLA stores every residual the vjp reads) or 'dots' (jax.checkpoint
+    with ``dots_with_no_batch_dims_saveable``: matmul/einsum outputs are
+    saved, the elementwise score chain — leaky_relu, masking, exp — is
+    recomputed in the backward, trading VPU flops for residual HBM
+    streams). The r5 FULL-recompute attempt (nothing_saveable) measured
+    +59.4 ms — re-gathering leaves costs far more than reading
+    residuals; this selective point keeps the gathers/dots saved.
+
+    MEASURED (r5, products scale on v5e, bench_tpu.jsonl): none
+    93.3 ms/step, dots 118.6 — the recomputed chain re-streams its
+    einsum inputs from HBM, costing more than the residual reads it
+    avoids. Both remat points are now refuted with numbers; the GAT
+    backward's ~14.2 ms residual/param-gradient remainder is a
+    measured floor, not an un-attempted optimization. 'none' stays the
+    default.
+
+    Read at TRACE time, same semantics as ``dense_agg_impl``."""
+    global _gat_remat
+    if _gat_remat is None:
+        v = os.environ.get("OCC_GAT_REMAT", "none")
+        if v not in _GAT_REMAT_CHOICES:
+            raise ValueError(
+                f"OCC_GAT_REMAT={v!r} is not one of {_GAT_REMAT_CHOICES}"
+            )
+        _gat_remat = v
+    return _gat_remat
+
+
+def set_gat_remat_impl(value: str) -> None:
+    global _gat_remat
+    if value not in _GAT_REMAT_CHOICES:
+        raise ValueError(
+            f"gat_remat impl must be one of {_GAT_REMAT_CHOICES}"
+        )
+    _gat_remat = value
+
+
 _device_sample: str | None = None
 _DEVICE_SAMPLE_CHOICES = ("randint", "bitsf32", "bitsf32_dk", "window")
 

@@ -499,9 +499,21 @@ class SplitGAT:
         return carry
 
     def forward_local(self, params, layers, x, rng=None):
+        from occ_gnn_tpu.ops.config import gat_remat_impl
+
+        layer_fn = self.layer
+        if gat_remat_impl() == "dots":
+            # Selective remat: keep gathers/einsum outputs as residuals,
+            # recompute the elementwise score chain in the backward.
+            layer_fn = jax.checkpoint(
+                self.layer,
+                policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable,
+                static_argnums=(3,),
+            )
         n = len(layers)
         for i, lyr in enumerate(layers):
-            x = self.layer(params[f"layer_{i}"], lyr, x, is_last=(i == n - 1))
+            x = layer_fn(params[f"layer_{i}"], lyr, x, i == n - 1)
             if i != n - 1:
                 x = jax.nn.elu(x)
                 if rng is not None and self.dropout > 0.0:
