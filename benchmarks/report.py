@@ -30,6 +30,11 @@ def main():
         latest: dict[tuple, dict] = {}
         fallback = name.removesuffix(".jsonl")
         for rec in lines:
+            # headline=false marks refutation / comparison-point runs of
+            # non-default lowerings: keep them in the jsonl record, never
+            # as the group's reported number.
+            if rec.get("headline") is False:
+                continue
             key = (rec.get("experiment", fallback), rec.get("model"))
             latest[key] = rec
         # Drop a model-less group when model-keyed records of the same
