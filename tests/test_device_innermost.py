@@ -413,3 +413,26 @@ def test_device_mode_capacity_overflow_raises_in_turn(small_graph):
     with pytest.raises(ValueError, match="overflow"):
         dev.sample_batch(g.train_nodes()[:64])
     dev.close()
+
+
+def test_csr_embed_policy_boundaries(small_graph, monkeypatch):
+    """The embed-vs-argument policy: small CSRs embed as lowered
+    constants, big ones ride as jit arguments; OCC_CSR_EMBED_MAX
+    overrides. The default cap must keep the products-scale ~255 MB CSR
+    embedded while pushing anything larger (e.g. the 500 MB window-mode
+    doubled layout, which overflows compile-service request bodies) to
+    the argument path."""
+    from occ_gnn_tpu.parallel.model import _csr_embed, make_device_csr
+
+    csr = make_device_csr(small_graph)
+    assert _csr_embed(None) is False
+    assert _csr_embed(csr) is True  # tiny graph: well under the cap
+    monkeypatch.setenv("OCC_CSR_EMBED_MAX", "8")
+    assert _csr_embed(csr) is False  # forced to the argument path
+    monkeypatch.delenv("OCC_CSR_EMBED_MAX")
+    # default cap sits between the measured-good 255 MB embed and the
+    # measured-bad 500 MB one
+    import os
+    default_cap = 1 << 28
+    assert 255e6 < default_cap < 500e6
+    assert "OCC_CSR_EMBED_MAX" not in os.environ
